@@ -1,0 +1,82 @@
+"""Headline benchmark: primary-ray throughput on a dense procedural model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): the reference casts 1920x1080 primary rays over the
+2048^3 dragon (55M voxels) in ~2 ms ~= 1.0 Grays/s on an RX 7900 XTX.
+vs_baseline = our Mrays/s / 1000.
+
+Environment knobs:
+  MVRT_BENCH_RES   grid resolution (default 1024)
+  MVRT_BENCH_W/H   frame size (default 1920x1080)
+  MVRT_BENCH_ITERS timed frames (default 4)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from massivevoxelraytracing_tpu.utils import runtime
+
+runtime.setup()
+
+import jax  # noqa: E402
+
+from massivevoxelraytracing_tpu.models import raycast, scene  # noqa: E402
+from massivevoxelraytracing_tpu.ops import camera as camera_ops  # noqa: E402
+from massivevoxelraytracing_tpu.utils import meshgen  # noqa: E402
+
+
+def main():
+    grid_res = int(os.environ.get("MVRT_BENCH_RES", 1024))
+    width = int(os.environ.get("MVRT_BENCH_W", 1920))
+    height = int(os.environ.get("MVRT_BENCH_H", 1080))
+    iters = int(os.environ.get("MVRT_BENCH_ITERS", 4))
+
+    tri = meshgen.bumpy_sphere(
+        int(os.environ.get("MVRT_BENCH_SUBDIV", 5)), radius=0.9
+    )
+    origin, dps = meshgen.fit_grid(tri, grid_res)
+    t0 = time.time()
+    tree = scene.build_scene(tri, origin=origin, dps=dps, grid_res=grid_res)
+    build_s = time.time() - t0
+
+    lo = np.asarray(origin)
+    extent = float(dps) * grid_res
+    center = lo + extent / 2
+    cam = camera_ops.Camera.look_at(
+        eye=center + np.array([0.9, 0.4, 1.4]) * extent * 0.9,
+        target=center,
+        fovy_deg=40.0,
+    )
+
+    img, depth = raycast.render_frame(tree, cam, width, height)  # compile+warm
+    t0 = time.time()
+    for _ in range(iters):
+        img, depth = raycast.render_frame(tree, cam, width, height)
+    dt = (time.time() - t0) / iters
+
+    mrays = width * height / dt / 1e6
+    hit_frac = float(np.mean(np.asarray(depth) < 1e37))
+    sys.stderr.write(
+        f"[bench] res={grid_res} voxels={tree.n_voxels} nodes={tree.n_nodes} "
+        f"build={build_s:.1f}s frame={dt*1e3:.1f}ms hit={hit_frac:.2f}\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"primary Mrays/s @{grid_res}^3 procedural dragon-standin, {width}x{height}",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

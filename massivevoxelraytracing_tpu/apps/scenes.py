@@ -1,0 +1,69 @@
+"""Scene sources for the apps: procedural generators or OBJ/PLY files.
+
+The reference loads Alembic archives through prlib (voxUtil.hpp:8-36); an
+Alembic parser is out of scope for this environment (no AlembicIO library is
+available), so animated scenes come from procedural generators or baked .npz
+triangle-soup sequences (see utils/objio.load_npz_sequence)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import meshgen, objio
+
+
+def load_scene(name: str):
+    """Returns (verts f32[T,3,3], colors f32[T,3,3], emissions f32[T,3,3])."""
+    if name.endswith(".obj") or name.endswith(".ply"):
+        tri, col = objio.load(name)
+        emi = np.zeros_like(tri)
+        if col is None:
+            lo, hi = meshgen.mesh_bounds(tri)
+            col = meshgen.vertex_colors_from_position(tri, lo, hi)
+        return tri, col, emi
+    if name.endswith(".npz"):
+        return objio.load_npz_frame(name, 0)
+
+    if name == "torus":
+        tri = meshgen.torus_knot(n_seg=384, n_ring=28)
+    elif name == "sphere":
+        tri = meshgen.icosphere(4, radius=0.9)
+    elif name == "bumpy":
+        tri = meshgen.bumpy_sphere(5, radius=0.9)
+    elif name == "soup":
+        tri = meshgen.random_soup(200, seed=1, scale=0.8)
+    else:
+        raise SystemExit(f"unknown scene '{name}'")
+    lo, hi = meshgen.mesh_bounds(tri)
+    col = meshgen.vertex_colors_from_position(tri, lo, hi)
+    emi = np.zeros_like(tri)
+    return tri, col, emi
+
+
+def animated_scene(name: str, frame: int, total_frames: int):
+    """Procedural animation: a deforming mesh (stand-in for the Alembic shot).
+
+    Returns (verts, colors, emissions)."""
+    t = frame / max(total_frames, 1)
+    if name == "torus":
+        tri = meshgen.torus_knot(
+            p=2, q=3, n_seg=384, n_ring=28, tube=0.18 + 0.1 * np.sin(2 * np.pi * t)
+        )
+        ang = 2 * np.pi * t
+        rot = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ],
+            np.float32,
+        )
+        tri = tri @ rot.T
+    elif name == "bumpy":
+        tri = meshgen.bumpy_sphere(5, radius=0.9, bump=0.1 + 0.15 * t, freq=4 + 6 * t)
+    else:
+        tri, _, _ = load_scene(name)
+    lo, hi = meshgen.mesh_bounds(tri)
+    col = meshgen.vertex_colors_from_position(tri, lo, hi)
+    emi = np.zeros_like(tri)
+    return tri.astype(np.float32), col, emi

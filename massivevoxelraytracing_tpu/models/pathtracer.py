@@ -1,0 +1,294 @@
+"""Progressive diffuse path tracer -- the renderPT megakernel + PathTracer
+facade (voxKernel.cu:610-777, PathTracer.hpp:14-170), TPU-native.
+
+Light transport per sample (matching the reference exactly):
+  thin-lens primary ray -> miss: primary-HDRI lookup; hit: voxel emission.
+  Then up to 8 diffuse bounces; per bounce:
+    NEE: one shadow ray toward an HDRI importance sample drawn from the
+      axis-aligned cosine-weighted table of the hit normal; contribution
+      T * (R/pi) * cos * E / pdf on visibility. No MIS; emissive voxels get
+      no shadow rays (deliberate, reference seminar slide 67).
+    EXTRA_IMPLICIT_SAMPLING: at depth 0 only, when the scene has emissive
+      voxels, one extra cosine-sampled ray picks up emission, averaged
+      1/(1+n) with the BSDF ray's depth-0 emission pickup.
+    BSDF ray: cosine hemisphere; emission picked up on hit (T *= R first).
+  PMJ(0,2) sample dims consumed in a fixed order per (pixel, spp) stream.
+
+TPU form: the whole sample is a fixed 8-iteration lax.fori over ray arrays
+with active masks (the megakernel's loop), each traversal a lockstep packet
+walk. The spp batch is the leading loop on the host (nBatchSpp=16 per step,
+PathTracer.hpp:150-159). Accumulation: f32 (r, g, b, n) per pixel; resolve
+divides by n and applies gamma 1/2.2 (renderResolve, voxKernel.cu:779-795).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import camera as camera_ops
+from ..ops import hdri as hdri_ops
+from ..ops import sampling, traverse
+from ..ops.bits import U32, u32
+from ..ops.hashing import hash_combine
+from ..ops.octree import VoxelOctree
+from ..ops.voxelize import rgb8_to_f32
+
+MAX_BOUNCES = 8
+N_BATCH_SPP = 16  # nBatchSpp (voxKernel.cu:631)
+RAY_PACKET = 1 << 16
+
+
+def _sample2d(table, spp, dim, stream):
+    return sampling.pmj_sample2d(table, spp, u32(dim), stream)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("stack_depth", "has_emission", "hdri_enabled", "extra_implicit"),
+)
+def pt_sample(
+    children_flat,
+    psum_flat,
+    root_entry,
+    lower,
+    upper,
+    color_table,
+    emission_table,
+    pmj_table,
+    env: hdri_ops.HDRI,
+    cam_o,
+    cam_right,
+    cam_up,
+    cam_front,
+    tan_half_fovy,
+    lens_r,
+    focus,
+    px,
+    py,
+    inv_w,
+    inv_h,
+    aspect,
+    pixel_hash,
+    spp,
+    emission_scale,
+    *,
+    stack_depth: int,
+    has_emission: bool,
+    hdri_enabled: bool,
+    extra_implicit: bool,
+):
+    """One path-traced sample for a packet of pixels. Returns f32[R, 3]."""
+    R = px.shape[0]
+    stream = pixel_hash
+    spp = jnp.broadcast_to(u32(spp), (R,))
+
+    dim_counter = [0]
+
+    def s2d():
+        d = dim_counter[0]
+        dim_counter[0] += 1
+        return _sample2d(pmj_table, spp, d, stream)
+
+    def intersect(ro, rd, shadow):
+        return traverse.intersect_rays(
+            children_flat, psum_flat, root_entry, lower, upper, ro, rd,
+            stack_depth=stack_depth, shadow=shadow,
+        )
+
+    # --- thin-lens primary (voxKernel.cu:662-667)
+    cu0, cu1 = s2d()
+    lu0, lu1 = s2d()
+    xf = (px.astype(jnp.float32) + cu0) * inv_w
+    yf = (py.astype(jnp.float32) + cu1) * inv_h
+    fx = focus * (-tan_half_fovy + 2.0 * tan_half_fovy * xf) * aspect
+    fy = focus * (tan_half_fovy - 2.0 * tan_half_fovy * yf)
+    lx = -lens_r + 2.0 * lens_r * lu0
+    ly = -lens_r + 2.0 * lens_r * lu1
+    rd = (
+        (fx - lx)[:, None] * cam_right
+        + (fy - ly)[:, None] * cam_up
+        + focus * cam_front
+    )
+    ro = cam_o + lx[:, None] * cam_right + ly[:, None] * cam_up
+
+    T = jnp.ones((R, 3), jnp.float32)
+    L = jnp.zeros((R, 3), jnp.float32)
+
+    t, nmaj, vidx = intersect(ro, rd, False)
+    miss = t >= 1e37
+
+    # --- primary emissions (voxKernel.cu:677-689)
+    if hdri_enabled:
+        env_col = hdri_ops.sample_nearest(env, rd, primary=True)
+        L = jnp.where(miss[:, None], env_col, L)
+    le = rgb8_to_f32(jnp.take(emission_table, vidx.astype(jnp.int32), mode="clip"))
+    L = jnp.where(miss[:, None], L, le)  # Le raw, unscaled on primary hit
+
+    n_extra = 1 if (extra_implicit and has_emission) else 0
+
+    # --- bounce loop (static unroll of 8; all ops masked by `alive`)
+    for depth in range(MAX_BOUNCES):
+        alive = ~miss
+        refl = rgb8_to_f32(
+            jnp.take(color_table, vidx.astype(jnp.int32), mode="clip")
+        )
+        hit_n = traverse.hit_normal(nmaj, rd)
+        hit_p = ro + rd * jnp.where(miss, 0.0, t)[:, None]
+
+        if hdri_enabled:
+            # NEE to the env (voxKernel.cu:697-716)
+            u01 = s2d()
+            u23 = s2d()
+            dir_s, emissive, pdf = hdri_ops.importance_sample(
+                env, hit_n, u01[0], u01[1], u23[0], u23[1], axis_aligned=True
+            )
+            t_s, _, _ = intersect(hit_p, dir_s, True)
+            vis = alive & (t_s >= 1e37)
+            cosw = jnp.maximum(jnp.sum(hit_n * dir_s, axis=-1), 0.0)
+            contrib = T * (refl / jnp.pi) * (cosw / pdf)[:, None] * emissive
+            L = jnp.where(vis[:, None], L + contrib, L)
+
+        T = jnp.where(alive[:, None], T * refl, T)
+
+        if n_extra and depth == 0:
+            # one extra implicit emission ray (voxKernel.cu:720-738)
+            eu = s2d()
+            dir_e = sampling.sample_lambertian(eu[0], eu[1], hit_n)
+            t_e, _, v_e = intersect(hit_p, dir_e, False)
+            le_e = rgb8_to_f32(
+                jnp.take(emission_table, v_e.astype(jnp.int32), mode="clip")
+            ) * emission_scale
+            pick = alive & (t_e < 1e37)
+            L = jnp.where(
+                pick[:, None], L + T * le_e / float(1 + n_extra), L
+            )
+
+        # BSDF ray (voxKernel.cu:741-759)
+        bu = s2d()
+        dir_b = sampling.sample_lambertian(bu[0], bu[1], hit_n)
+        ro = jnp.where(alive[:, None], hit_p, ro)
+        rd = jnp.where(alive[:, None], dir_b, rd)
+        t, nmaj_n, vidx_n = intersect(ro, rd, False)
+        # only alive lanes advance their hit state
+        new_hit = alive & (t < 1e37)
+        le_b = rgb8_to_f32(
+            jnp.take(emission_table, vidx_n.astype(jnp.int32), mode="clip")
+        ) * emission_scale
+        w_depth0 = 1.0 / float(1 + n_extra) if depth == 0 else 1.0
+        L = jnp.where(new_hit[:, None], L + T * le_b * w_depth0, L)
+
+        nmaj = jnp.where(new_hit, nmaj_n, nmaj)
+        vidx = jnp.where(new_hit, vidx_n, vidx)
+        miss = ~new_hit  # dead lanes stay dead
+
+    return L
+
+
+@dataclasses.dataclass
+class PathTracer:
+    """Engine facade (PathTracer.hpp:14-170): owns the scene tree, HDRI,
+    PMJ table, and the progressive accumulation buffer."""
+
+    width: int
+    height: int
+    tree: VoxelOctree | None = None
+    env: hdri_ops.HDRI | None = None
+    pmj_table: jax.Array | None = None
+    accum: jax.Array | None = None  # f32 [W*H, 4]
+    steps: int = 0
+    emission_scale: float = 7.5  # m_emissionScale (IntersectorOctreeGPU.hpp:273)
+    packet: int = RAY_PACKET
+
+    def setup(self):
+        if self.pmj_table is None:
+            self.pmj_table = jnp.asarray(sampling.make_pmj_table())
+        self.clear_frame_buffer()
+
+    def load_hdri(self, pixels, pixels_primary=None, scale: float = 1.75):
+        self.env = hdri_ops.load(pixels, pixels_primary, scale=scale)
+
+    def update_scene(self, tree: VoxelOctree):
+        self.tree = tree
+
+    def clear_frame_buffer(self):
+        self.accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
+        self.steps = 0
+
+    def step(self, cam: camera_ops.Camera, n_spp: int = N_BATCH_SPP):
+        """One progressive step: +n_spp samples per pixel."""
+        assert self.tree is not None and self.pmj_table is not None
+        tree = self.tree
+        env = self.env
+        if env is None:
+            # disabled env: zero-radiance 1x1 (isEnabled() == false path)
+            env = hdri_ops.load(np.zeros((1, 1, 3), np.float32), scale=0.0)
+        depth = max(int(tree.grid_res).bit_length() - 1, 1)
+
+        n = self.width * self.height
+        n_pad = -(-n // self.packet) * self.packet
+        px_all = np.arange(n_pad, dtype=np.uint32) % self.width
+        py_all = np.minimum(
+            np.arange(n_pad, dtype=np.uint32) // self.width, self.height - 1
+        )
+
+        total = jnp.zeros((n_pad, 3), jnp.float32)
+        parts = []
+        for k in range(n_pad // self.packet):
+            sl = slice(k * self.packet, (k + 1) * self.packet)
+            pix_idx = jnp.asarray(
+                np.arange(k * self.packet, (k + 1) * self.packet, dtype=np.uint32)
+            )
+            pixel_hash = hash_combine(jnp.uint32(0), pix_idx)  # MurmurHash32(0).combine(pixelIdx)
+            acc_k = jnp.zeros((self.packet, 3), jnp.float32)
+            for s in range(n_spp):
+                spp = self.steps * N_BATCH_SPP + s
+                li = pt_sample(
+                    tree.children.reshape(-1),
+                    tree.psum.reshape(-1),
+                    traverse.root_entry_of(tree),
+                    tree.lower,
+                    tree.upper,
+                    tree.color if tree.color is not None else jnp.zeros(1, U32),
+                    tree.emission if tree.emission is not None else jnp.zeros(1, U32),
+                    self.pmj_table,
+                    env,
+                    jnp.asarray(cam.o),
+                    jnp.asarray(cam.right),
+                    jnp.asarray(cam.up),
+                    jnp.asarray(cam.front),
+                    jnp.float32(cam.tan_half_fovy),
+                    jnp.float32(cam.lens_r),
+                    jnp.float32(cam.focus),
+                    jnp.asarray(px_all[sl.start:sl.stop]),
+                    jnp.asarray(py_all[sl.start:sl.stop]),
+                    jnp.float32(1.0 / self.width),
+                    jnp.float32(1.0 / self.height),
+                    jnp.float32(self.width / self.height),
+                    pixel_hash,
+                    jnp.uint32(spp),
+                    jnp.float32(self.emission_scale),
+                    stack_depth=depth,
+                    has_emission=tree.has_emission,
+                    hdri_enabled=self.env is not None and env.scale > 0,
+                    extra_implicit=True,
+                )
+                acc_k = acc_k + li
+            parts.append(acc_k)
+        radiance = jnp.concatenate(parts)[:n]
+        self.accum = self.accum + jnp.concatenate(
+            [radiance, jnp.full((n, 1), float(n_spp), jnp.float32)], axis=1
+        )
+        self.steps += 1
+
+    def resolve(self) -> np.ndarray:
+        """accum -> u8 image with 1/2.2 gamma (renderResolve)."""
+        acc = np.asarray(self.accum)
+        w = np.maximum(acc[:, 3:4], 1e-8)
+        rgb = np.clip(acc[:, :3] / w, 0.0, None) ** (1.0 / 2.2)
+        img = np.clip(255.0 * rgb + 0.5, 0, 255).astype(np.uint8)
+        return img.reshape(self.height, self.width, 3)

@@ -1,5 +1,11 @@
 """Primary-ray renderer (the `render` kernel + voxRTGPU app behavior,
-voxKernel.cu:437-483): one ray per pixel, face-normal or voxel-color shading."""
+voxKernel.cu:437-483): one ray per pixel, face-normal or voxel-color shading.
+
+Rays stream through FIXED-SIZE packets: the traversal+shade graph compiles
+once per (packet, tree-bucket) combination and is reused for any frame size
+-- compile time on the remote TPU backend is minutes per new shape, so shape
+standardization is a first-class design rule here (the analog of the
+reference compiling its kernels once at startup, PathTracer.hpp:52-68)."""
 
 from __future__ import annotations
 
@@ -14,46 +20,16 @@ from ..ops import traverse
 from ..ops.octree import VoxelOctree
 from ..ops.voxelize import rgb8_to_f32
 
+RAY_PACKET = 1 << 16  # 65536 rays per traversal dispatch
 
-@partial(jax.jit, static_argnames=("width", "height", "stack_depth", "show_color"))
-def _render_frame(
-    children_flat,
-    psum_flat,
-    root_entry,
-    lower,
-    upper,
-    color_table,
-    cam_o,
-    cam_front,
-    cam_up,
-    cam_right,
-    tan_half_fovy,
-    *,
-    width: int,
-    height: int,
-    stack_depth: int,
-    show_color: bool,
+
+@partial(jax.jit, static_argnames=("stack_depth", "show_color"))
+def _render_packet(
+    children_flat, psum_flat, root_entry, lower, upper, color_table,
+    ro, rd, *, stack_depth: int, show_color: bool,
 ):
-    n = width * height
-    idx = jnp.arange(n, dtype=jnp.int32)
-    px = idx % width
-    py = idx // width
-    xf = (px.astype(jnp.float32) + 0.5) / width
-    yf = (py.astype(jnp.float32) + 0.5) / height
-    th = tan_half_fovy
-    u = (-th + 2.0 * th * xf) * (width / height)
-    v = th - 2.0 * th * yf
-    rd = u[:, None] * cam_right + v[:, None] * cam_up + cam_front
-    ro = jnp.broadcast_to(cam_o, rd.shape)
-
     t, nmaj, vidx = traverse.intersect_rays(
-        children_flat,
-        psum_flat,
-        root_entry,
-        lower,
-        upper,
-        ro,
-        rd,
+        children_flat, psum_flat, root_entry, lower, upper, ro, rd,
         stack_depth=stack_depth,
     )
     hit = t < 1e37
@@ -64,34 +40,45 @@ def _render_frame(
         col = (hn + 1.0) * 0.5
     rgb = jnp.where(hit[:, None], col, 0.0)
     img = jnp.clip(rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-    return img.reshape(height, width, 3), t.reshape(height, width)
+    return img, t
 
 
-def render_frame(
-    tree: VoxelOctree,
-    cam: camera_ops.Camera,
-    width: int,
-    height: int,
-    show_color: bool = False,
-):
-    """Returns (u8[H, W, 3] image, f32[H, W] depth)."""
+def render_rays(tree: VoxelOctree, ro: np.ndarray, rd: np.ndarray,
+                show_color: bool = False, packet: int = RAY_PACKET):
+    """Render arbitrary ray arrays in fixed-size packets.
+    Returns (u8[N, 3], f32[N])."""
     depth = max(int(tree.grid_res).bit_length() - 1, 1)
     color = tree.color if tree.color is not None else jnp.zeros(1, jnp.uint32)
-    img, t = _render_frame(
-        tree.children.reshape(-1),
-        tree.psum.reshape(-1),
-        traverse.root_entry_of(tree),
-        tree.lower,
-        tree.upper,
-        color,
-        jnp.asarray(cam.o),
-        jnp.asarray(cam.front),
-        jnp.asarray(cam.up),
-        jnp.asarray(cam.right),
-        jnp.float32(cam.tan_half_fovy),
-        width=width,
-        height=height,
-        stack_depth=depth,
-        show_color=show_color,
-    )
+    n = len(ro)
+    n_pad = -(-n // packet) * packet
+    if n_pad != n:
+        ro = np.concatenate([ro, np.zeros((n_pad - n, 3), np.float32)])
+        rd = np.concatenate([rd, np.ones((n_pad - n, 3), np.float32)])
+    imgs = []
+    ts = []
+    ch = tree.children.reshape(-1)
+    ps = tree.psum.reshape(-1)
+    root = traverse.root_entry_of(tree)
+    for k in range(n_pad // packet):
+        sl = slice(k * packet, (k + 1) * packet)
+        img, t = _render_packet(
+            ch, ps, root, tree.lower, tree.upper, color,
+            jnp.asarray(ro[sl]), jnp.asarray(rd[sl]),
+            stack_depth=depth, show_color=show_color,
+        )
+        imgs.append(img)
+        ts.append(t)
+    img = jnp.concatenate(imgs)[:n]
+    t = jnp.concatenate(ts)[:n]
     return img, t
+
+
+def render_frame(tree: VoxelOctree, cam: camera_ops.Camera,
+                 width: int, height: int, show_color: bool = False):
+    """Returns (u8[H, W, 3] image, f32[H, W] depth)."""
+    ro, rd = camera_ops.np_frame_rays(cam, width, height)
+    img, t = render_rays(tree, ro, rd, show_color=show_color)
+    return (
+        np.asarray(img).reshape(height, width, 3),
+        np.asarray(t).reshape(height, width),
+    )

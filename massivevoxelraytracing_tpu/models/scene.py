@@ -2,8 +2,18 @@
 
 This is the `updateScene` path of the engine (PathTracer.hpp:141-148 ->
 IntersectorOctreeGPU::build, IntersectorOctreeGPU.hpp:40-241): per frame,
-re-voxelize the mesh and rebuild the octree. Host round trips mirror the
-reference's three readbacks (voxel count, level pre-count, node counts)."""
+re-voxelize the mesh and rebuild the octree.
+
+Large meshes stream through fixed-size triangle chunks (static shapes for
+the jit cache) with the reference's exact two-pass structure:
+  pass 1 (voxCount): per-chunk dumped-voxel counts, one host readback
+  pass 2 (voxelize): per-chunk compaction (valid candidates sort to the
+    front) written at running offsets into one global dump buffer; a chunk's
+    invalid tail is overwritten by the next chunk's write
+  then ONE global sort+unique with true duplicate-mean attributes --
+  identical semantics to radix sort + `unique` (voxKernel.cu:117-243).
+Host round trips mirror the reference's three readbacks (chunk counts,
+unique count, octree level counts)."""
 
 from __future__ import annotations
 
@@ -13,7 +23,37 @@ import jax.numpy as jnp
 
 from ..ops import octree as octree_ops
 from ..ops import voxelize as vox_ops
+from ..ops.bits import U32
 from ..utils import meshprep
+
+INVALID = 0xFFFFFFFF
+
+
+@jax.jit
+def _chunk_emit(bufs, cands, off):
+    """Sort one chunk's candidates so valid entries lead (keyed by Morton)
+    and write them into the global dump buffers at a running offset."""
+    valid = cands["valid"]
+    key_hi = jnp.where(valid, cands["m_hi"], jnp.uint32(INVALID))
+    key_lo = jnp.where(valid, cands["m_lo"], jnp.uint32(INVALID))
+    sorted_ops = jax.lax.sort(
+        (key_hi, key_lo, cands["color"], cands["emission"]), num_keys=2
+    )
+    return tuple(
+        jax.lax.dynamic_update_slice(b, v, (off,))
+        for b, v in zip(bufs, sorted_ops)
+    )
+
+
+@jax.jit
+def _make_unique_input(m_hi, m_lo, color, emission):
+    return dict(
+        valid=m_hi != jnp.uint32(INVALID),
+        m_hi=m_hi,
+        m_lo=m_lo,
+        color=color,
+        emission=emission,
+    )
 
 
 def build_scene(
@@ -25,9 +65,9 @@ def build_scene(
     dps,
     grid_res: int,
     six_separating: bool = True,
-    cap: int = 8,
+    cap: int = 4,
     dag: bool = True,
-    tri_bucket: int = 1024,
+    chunk_tris: int = 65536,
 ) -> octree_ops.VoxelOctree:
     """Voxelize + build. tri_*: f32[T, 3, 3] host arrays."""
     tri_verts = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
@@ -39,39 +79,60 @@ def build_scene(
     tri, col, emi = meshprep.split_to_cap(
         tri_verts, tri_colors, tri_emissions, origin, dps, grid_res, cap
     )
-    tri, col, emi = meshprep.pad_triangles(tri, col, emi, tri_bucket)
+    n_tri = len(tri)
+    chunk = min(chunk_tris, octree_ops.bucket(n_tri, floor=1024))
+    tri, col, emi = meshprep.pad_triangles(tri, col, emi, chunk)
+    n_chunks = len(tri) // chunk
+    origin_j = jnp.asarray(origin, jnp.float32)
 
-    cands = vox_ops.voxelize_dense(
-        jnp.asarray(tri),
-        jnp.asarray(col),
-        jnp.asarray(emi),
-        jnp.asarray(origin, jnp.float32),
-        float(dps),
-        grid_res=grid_res,
-        six_separating=six_separating,
-        cap=cap,
-    )
-    uniq = vox_ops.sort_and_unique(cands)
-    n_unique = int(uniq["n_unique"])  # readback (the reference's counter read)
-    if n_unique == 0:
+    def vox_chunk(k):
+        sl = slice(k * chunk, (k + 1) * chunk)
+        return vox_ops.voxelize_dense(
+            jnp.asarray(tri[sl]),
+            jnp.asarray(col[sl]),
+            jnp.asarray(emi[sl]),
+            origin_j,
+            float(dps),
+            grid_res=grid_res,
+            six_separating=six_separating,
+            cap=cap,
+        )
+
+    # pass 1: counts (voxCount)
+    counts = [vox_ops.count_voxels(vox_chunk(k)) for k in range(n_chunks)]
+    counts = np.asarray(jnp.stack(counts))  # readback 1
+    total_dumped = int(counts.sum())
+    if total_dumped == 0:
         raise ValueError("voxelization produced no voxels")
-    pad = octree_ops.bucket(n_unique)
-    m_hi = uniq["m_hi"][:pad]
-    m_lo = uniq["m_lo"][:pad]
-    color = uniq["color"][:pad]
-    emission = uniq["emission"][:pad]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
 
-    lower = jnp.asarray(origin, jnp.float32)
+    # pass 2: emit compacted chunks at running offsets
+    cand_per_chunk = chunk * cap * cap * cap
+    buf_size = octree_ops.bucket(total_dumped + cand_per_chunk)
+    bufs = tuple(
+        jnp.full((buf_size,), jnp.uint32(INVALID)) for _ in range(2)
+    ) + tuple(jnp.zeros((buf_size,), U32) for _ in range(2))
+    for k in range(n_chunks):
+        bufs = _chunk_emit(bufs, vox_chunk(k), jnp.int32(int(offsets[k])))
+    m_hi, m_lo, colors, emissions = bufs
+
+    # global sort + unique with true duplicate means (`unique` kernel)
+    uniq = vox_ops.sort_and_unique(
+        _make_unique_input(m_hi, m_lo, colors, emissions)
+    )
+    n_unique = int(uniq["n_unique"])  # readback 2
+    pad = octree_ops.bucket(n_unique)
+    lower = origin_j
     upper = lower + jnp.float32(dps) * grid_res
     return octree_ops.build_octree(
-        m_hi,
-        m_lo,
+        uniq["m_hi"][:pad],
+        uniq["m_lo"][:pad],
         n_unique,
         grid_res,
         dag=dag,
         lower=lower,
         upper=upper,
-        color=color,
-        emission=emission,
+        color=uniq["color"][:pad],
+        emission=uniq["emission"][:pad],
         has_emission=bool(uniq["has_emission"]),
     )

@@ -48,6 +48,26 @@ class Camera:
         )
 
 
+def np_frame_rays(cam: Camera, width: int, height: int, off_x=0.5, off_y=0.5):
+    """Host-side primary rays for a full frame (row-major pixel order).
+    Pure numpy so no device compile depends on the frame size."""
+    idx = np.arange(width * height)
+    px = idx % width
+    py = idx // width
+    xf = (px + off_x) / width
+    yf = (py + off_y) / height
+    th = cam.tan_half_fovy
+    u = (-th + 2.0 * th * xf) * (width / height)
+    v = th - 2.0 * th * yf
+    rd = (
+        u[:, None] * cam.right[None, :]
+        + v[:, None] * cam.up[None, :]
+        + cam.front[None, :]
+    ).astype(np.float32)
+    ro = np.broadcast_to(cam.o, rd.shape).astype(np.float32)
+    return ro, rd
+
+
 def shoot(cam: Camera, px, py, off_x, off_y, width: int, height: int):
     """Pixel-index rays (CameraPinhole::shoot). px/py i32[R], off in [0,1)."""
     xf = (px.astype(jnp.float32) + off_x) / width

@@ -198,6 +198,42 @@ def build_level(t_hi, t_lo, t_child, t_nvox, n_in, *, p_out: int, dag: bool):
     )
 
 
+@jax.jit
+def _init_tasks(m_hi, n_voxels):
+    p0 = m_hi.shape[0]
+    valid = jnp.arange(p0, dtype=I32) < n_voxels
+    t_child = jnp.full((p0,), _c(INVALID))
+    t_nvox = jnp.where(valid, _c(1), _c(0))
+    return valid, t_child, t_nvox
+
+
+@partial(jax.jit, static_argnames=("total_pad",))
+def _assemble(level_nodes, offsets, *, total_pad: int):
+    """Pack per-level padded node arrays into one global buffer at exact
+    offsets (levels written in order: a level's padded tail is overwritten
+    by the next level's block), remap child indices to global by adding the
+    previous level's offset, and embed child masks into pointer bits 24..31
+    (the compact-copy + embedMasks steps, IntersectorOctreeGPU.hpp:219-241)."""
+    children = jnp.full((total_pad, 8), _c(INVALID))
+    psum = jnp.zeros((total_pad, 8), U32)
+    mask = jnp.zeros((total_pad,), U32)
+    for l, (ch, ps, mk) in enumerate(level_nodes):
+        if l > 0:
+            off = offsets[l - 1].astype(U32)
+            ch = jnp.where(ch == _c(INVALID), ch, ch + off)
+        start = offsets[l]
+        children = jax.lax.dynamic_update_slice(children, ch, (start, 0))
+        psum = jax.lax.dynamic_update_slice(psum, ps, (start, 0))
+        mask = jax.lax.dynamic_update_slice(mask, mk, (start,))
+
+    safe_child = jnp.where(children == _c(INVALID), _c(0), children)
+    child_mask = jnp.take(mask, safe_child.astype(I32), mode="clip")
+    children = jnp.where(
+        children == _c(INVALID), children, children | (child_mask << 24)
+    )
+    return children, psum, mask
+
+
 def build_octree(
     m_hi,
     m_lo,
@@ -220,16 +256,13 @@ def build_octree(
     assert grid_res >= 2 and (grid_res & (grid_res - 1)) == 0
     n_levels = int(grid_res).bit_length() - 1
 
-    p0 = m_hi.shape[0]
-    valid = jnp.arange(p0, dtype=I32) < n_voxels
+    valid, t_child, t_nvox = _init_tasks(m_hi, jnp.int32(n_voxels))
     counts = np.asarray(
         level_task_counts(m_hi, m_lo, valid, n_levels=n_levels)
     )  # readback 1
     assert counts[-1] == 1, f"top level must collapse to one group, got {counts[-1]}"
 
     t_hi, t_lo = m_hi, m_lo
-    t_child = jnp.full((p0,), _c(INVALID))
-    t_nvox = jnp.where(valid, _c(1), _c(0))
     n_in = n_voxels
 
     level_nodes = []
@@ -249,31 +282,16 @@ def build_octree(
         )
         n_in = int(counts[l])
 
-    n_uniques = [int(n) for n in np.asarray(jnp.stack(n_uniques))]  # readback 2
+    n_uniques_arr = np.asarray(jnp.stack(n_uniques))  # readback 2
+    n_uniques = [int(n) for n in n_uniques_arr]
     offsets = np.concatenate([[0], np.cumsum(n_uniques)])
     total = int(offsets[-1])
     assert total < 0xFFFFFF, "node count exceeds embedded-mask capacity"
 
-    # assemble: slice exact counts, remap child indices to global, concat
-    parts_ch, parts_ps, parts_mk = [], [], []
-    for l, (ch, ps, mk) in enumerate(level_nodes):
-        n_l = n_uniques[l]
-        ch = ch[:n_l]
-        if l > 0:
-            off = _c(int(offsets[l - 1]))
-            ch = jnp.where(ch == _c(INVALID), ch, ch + off)
-        parts_ch.append(ch)
-        parts_ps.append(ps[:n_l])
-        parts_mk.append(mk[:n_l])
-    children = jnp.concatenate(parts_ch)
-    psum = jnp.concatenate(parts_ps)
-    mask = jnp.concatenate(parts_mk)
-
-    # embed child masks into pointer bits 24..31 (embedMasks kernel)
-    safe_child = jnp.where(children == _c(INVALID), _c(0), children)
-    child_mask = jnp.take(mask, safe_child.astype(I32))
-    children = jnp.where(
-        children == _c(INVALID), children, children | (child_mask << 24)
+    p_max = max(ch.shape[0] for ch, _, _ in level_nodes)
+    total_pad = bucket(total + p_max)
+    children, psum, mask = _assemble(
+        tuple(level_nodes), jnp.asarray(offsets, I32), total_pad=total_pad
     )
 
     if lower is None:

@@ -105,30 +105,37 @@ def intersect_rays(
     dty = t1v[:, 1] - t0v[:, 1]
     dtz = t1v[:, 2] - t0v[:, 2]
 
-    zero_u = jnp.zeros((R,), U32)
-    zero_f = jnp.zeros((R,), F32)
+    # Derive zero-valued carries from the ray arrays so every while-loop
+    # carry component is device-varying under shard_map (constant inits are
+    # 'unvarying' and trip the vma check when the body mixes them with
+    # sharded data).
+    zero_f = (ro[:, 0] + rd[:, 0]) * 0.0
+    zero_u = zero_f.astype(U32)
+    zero_i = zero_f.astype(I32)
+    zstack_f = jnp.broadcast_to(zero_f[:, None], (R, D))
+    zstack_u = zstack_f.astype(U32)
     init = dict(
-        node=jnp.broadcast_to(u32(root_entry), (R,)),
+        node=u32(root_entry) + zero_u,
         t1x=t1v[:, 0],
         t1y=t1v[:, 1],
         t1z=t1v[:, 2],
-        scale=jnp.ones((R,), F32),
-        cm=jnp.full((R,), _c(INVALID)),
+        scale=zero_f + 1.0,
+        cm=zero_u + _c(INVALID),
         skipped=zero_u,
-        sp=jnp.zeros((R,), I32),
+        sp=zero_i,
         active=enter_ok,
-        t=jnp.full((R,), MAX_FLOAT),
-        nmajor=jnp.full((R,), -1, I32),
+        t=zero_f + MAX_FLOAT,
+        nmajor=zero_i - 1,
         vidx=zero_u,
         it=jnp.int32(0),
         # stack channels
-        s_node=jnp.zeros((R, D), U32),
-        s_t1x=jnp.zeros((R, D), F32),
-        s_t1y=jnp.zeros((R, D), F32),
-        s_t1z=jnp.zeros((R, D), F32),
-        s_scale=jnp.zeros((R, D), F32),
-        s_cm=jnp.zeros((R, D), U32),
-        s_skip=jnp.zeros((R, D), U32),
+        s_node=zstack_u,
+        s_t1x=zstack_f,
+        s_t1y=zstack_f,
+        s_t1z=zstack_f,
+        s_scale=zstack_f,
+        s_cm=zstack_u,
+        s_skip=zstack_u,
     )
 
     d_iota = jnp.arange(D, dtype=I32)[None, :]

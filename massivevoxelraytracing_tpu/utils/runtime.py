@@ -1,0 +1,47 @@
+"""Process-level runtime setup: persistent XLA compilation cache + timers.
+
+The axon-tunneled TPU backend compiles large graphs slowly (minutes); the
+persistent cache makes every app/bench invocation after the first fast.
+Plays the role the reference's JIT-compile cache of `Shader` kernels plays
+(hipUtil.hpp:112-157) at the XLA level.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
+
+
+def setup(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache = cache_dir or os.environ.get("MVRT_JAX_CACHE", _DEFAULT_CACHE)
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    # cache EVERYTHING: on the axon backend even trivial eager ops take
+    # ~0.4s to compile remotely, and they fall under the default 1s
+    # persistence threshold -- so every process would pay them again.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+class Stopwatch:
+    """Per-phase wall timers with the reference's stats-line spirit
+    (RTCamp.cpp:195: '[frame N] res() total() / update / render')."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.marks: dict[str, float] = {}
+
+    def lap(self, name: str, block_on=None) -> float:
+        if block_on is not None:
+            import jax
+
+            jax.block_until_ready(block_on)
+        now = time.time()
+        dt = now - self.t0
+        self.marks[name] = self.marks.get(name, 0.0) + dt
+        self.t0 = now
+        return dt

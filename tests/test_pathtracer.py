@@ -1,0 +1,108 @@
+"""Path-tracer integration tests: white-furnace energy conservation,
+emissive-voxel transport, progressive accumulation semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from massivevoxelraytracing_tpu.models import scene
+from massivevoxelraytracing_tpu.models.pathtracer import PathTracer
+from massivevoxelraytracing_tpu.ops import camera as camera_ops
+from massivevoxelraytracing_tpu.utils import meshgen
+
+W, H = 64, 48
+
+
+def make_pt(tree, env_img=None, env_scale=1.0):
+    pt = PathTracer(width=W, height=H, packet=1024)
+    pt.pmj_table = jnp.asarray(
+        np.random.default_rng(0).random((128, 4096, 2), np.float32)
+    )  # random table is fine for integration tests (pmj tested separately)
+    pt.setup()
+    if env_img is not None:
+        pt.load_hdri(env_img, scale=env_scale)
+    pt.update_scene(tree)
+    return pt
+
+
+def sphere_scene(grid_res=32, emissive=False, albedo=1.0):
+    tri = meshgen.icosphere(3, radius=0.8)
+    origin, dps = meshgen.fit_grid(tri, grid_res)
+    col = np.full_like(tri, albedo)
+    emi = np.full_like(tri, 0.4 if emissive else 0.0)
+    tree = scene.build_scene(
+        tri, col, emi, origin=origin, dps=dps, grid_res=grid_res
+    )
+    return tree, origin, dps
+
+
+def look_cam(origin, dps, grid_res, dist=2.2):
+    extent = float(dps) * grid_res
+    center = np.asarray(origin) + extent / 2
+    return camera_ops.Camera.look_at(
+        eye=center + np.array([0.0, 0.3, 1.0]) * extent * dist,
+        target=center,
+        fovy_deg=35.0,
+    )
+
+
+def test_white_furnace():
+    # albedo-1 sphere in a uniform unit environment: every pixel converges
+    # to the env radiance (bounded bounce truncation + MC noise allowed)
+    tree, origin, dps = sphere_scene(grid_res=32, albedo=1.0)
+    env = np.ones((16, 32, 3), np.float32)
+    pt = make_pt(tree, env, env_scale=1.0)
+    cam = look_cam(origin, dps, 32)
+    pt.step(cam, n_spp=8)
+    acc = np.asarray(pt.accum)
+    val = acc[:, :3] / acc[:, 3:4]
+    mean = val.mean()
+    assert abs(mean - 1.0) < 0.08, mean
+    # no fireflies / NaNs
+    assert np.isfinite(val).all()
+    assert val.max() < 4.0
+
+
+def test_dark_env_black_image():
+    tree, origin, dps = sphere_scene(grid_res=16)
+    pt = make_pt(tree, None)  # no HDRI: enabled() false, black env
+    cam = look_cam(origin, dps, 16)
+    pt.step(cam, n_spp=2)
+    acc = np.asarray(pt.accum)
+    assert np.allclose(acc[:, :3], 0.0)
+
+
+def test_emissive_voxels_light_the_scene():
+    tree, origin, dps = sphere_scene(grid_res=16, emissive=True, albedo=0.7)
+    assert tree.has_emission
+    pt = make_pt(tree, None)
+    cam = look_cam(origin, dps, 16)
+    pt.step(cam, n_spp=4)
+    acc = np.asarray(pt.accum)
+    val = acc[:, :3] / acc[:, 3:4]
+    # primary hits see raw (unscaled) emission 0.4; some indirect on top
+    img = val.reshape(H, W, 3)
+    center = img[H // 2 - 4 : H // 2 + 4, W // 2 - 4 : W // 2 + 4]
+    assert center.mean() > 0.3
+    assert np.isfinite(val).all()
+
+
+def test_progressive_accumulation_and_resolve():
+    tree, origin, dps = sphere_scene(grid_res=16)
+    env = np.ones((8, 16, 3), np.float32) * 0.5
+    pt = make_pt(tree, env)
+    cam = look_cam(origin, dps, 16)
+    pt.step(cam, n_spp=2)
+    assert pt.steps == 1
+    n1 = np.asarray(pt.accum)[:, 3]
+    assert np.all(n1 == 2)
+    pt.step(cam, n_spp=2)
+    assert np.all(np.asarray(pt.accum)[:, 3] == 4)
+    img = pt.resolve()
+    assert img.shape == (H, W, 3) and img.dtype == np.uint8
+    # background pixels = gamma(0.5)
+    want = int(255 * 0.5 ** (1 / 2.2) + 0.5)
+    corner = img[0, 0]
+    assert abs(int(corner[0]) - want) <= 2
+    pt.clear_frame_buffer()
+    assert pt.steps == 0 and np.all(np.asarray(pt.accum) == 0)
