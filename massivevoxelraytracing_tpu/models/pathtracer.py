@@ -32,7 +32,7 @@ import numpy as np
 
 from ..ops import camera as camera_ops
 from ..ops import hdri as hdri_ops
-from ..ops import sampling, traverse
+from ..ops import sampling, traverse, traverse2
 from ..ops.bits import U32, u32
 from ..ops.hashing import hash_combine
 from ..ops.octree import VoxelOctree
@@ -52,8 +52,7 @@ def _sample2d(table, spp, dim, stream):
     static_argnames=("stack_depth", "has_emission", "hdri_enabled", "extra_implicit"),
 )
 def pt_sample(
-    children_flat,
-    psum_flat,
+    meta,
     root_entry,
     lower,
     upper,
@@ -95,9 +94,9 @@ def pt_sample(
         return _sample2d(pmj_table, spp, d, stream)
 
     def intersect(ro, rd, shadow):
-        return traverse.intersect_rays(
-            children_flat, psum_flat, root_entry, lower, upper, ro, rd,
-            stack_depth=stack_depth, shadow=shadow,
+        return traverse2.intersect_rays2(
+            meta, root_entry, lower, upper, ro, rd,
+            stack_depth=stack_depth, shadow=shadow, block=8192,
         )
 
     # --- thin-lens primary (voxKernel.cu:662-667)
@@ -248,8 +247,7 @@ class PathTracer:
             for s in range(n_spp):
                 spp = self.steps * N_BATCH_SPP + s
                 li = pt_sample(
-                    tree.children.reshape(-1),
-                    tree.psum.reshape(-1),
+                    traverse2.tree_meta(tree),
                     traverse.root_entry_of(tree),
                     tree.lower,
                     tree.upper,

@@ -16,21 +16,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import camera as camera_ops
-from ..ops import traverse
+from ..ops import traverse, traverse2
 from ..ops.octree import VoxelOctree
 from ..ops.voxelize import rgb8_to_f32
 
 RAY_PACKET = 1 << 16  # 65536 rays per traversal dispatch
+TRAVERSE_BLOCK = 8192  # sub-block inside the packet (see traverse2)
 
 
 @partial(jax.jit, static_argnames=("stack_depth", "show_color"))
 def _render_packet(
-    children_flat, psum_flat, root_entry, lower, upper, color_table,
+    meta, root_entry, lower, upper, color_table,
     ro, rd, *, stack_depth: int, show_color: bool,
 ):
-    t, nmaj, vidx = traverse.intersect_rays(
-        children_flat, psum_flat, root_entry, lower, upper, ro, rd,
-        stack_depth=stack_depth,
+    t, nmaj, vidx = traverse2.intersect_rays2(
+        meta, root_entry, lower, upper, ro, rd,
+        stack_depth=stack_depth, block=TRAVERSE_BLOCK,
     )
     hit = t < 1e37
     if show_color:
@@ -56,13 +57,12 @@ def render_rays(tree: VoxelOctree, ro: np.ndarray, rd: np.ndarray,
         rd = np.concatenate([rd, np.ones((n_pad - n, 3), np.float32)])
     imgs = []
     ts = []
-    ch = tree.children.reshape(-1)
-    ps = tree.psum.reshape(-1)
+    meta = traverse2.tree_meta(tree)
     root = traverse.root_entry_of(tree)
     for k in range(n_pad // packet):
         sl = slice(k * packet, (k + 1) * packet)
         img, t = _render_packet(
-            ch, ps, root, tree.lower, tree.upper, color,
+            meta, root, tree.lower, tree.upper, color,
             jnp.asarray(ro[sl]), jnp.asarray(rd[sl]),
             stack_depth=depth, show_color=show_color,
         )
@@ -73,12 +73,30 @@ def render_rays(tree: VoxelOctree, ro: np.ndarray, rd: np.ndarray,
     return img, t
 
 
+def tile_order(width: int, height: int, tile_w: int = 128, tile_h: int = 64):
+    """Pixel permutation putting rectangular tiles contiguous: traversal
+    blocks get spatially coherent rays (similar depth complexity), cutting
+    the lockstep iteration count (the role the reference's 256-pixel thread
+    blocks play, voxKernel.cu:448)."""
+    idx = np.arange(width * height)
+    px = idx % width
+    py = idx // width
+    key = (
+        (py // tile_h) * ((width + tile_w - 1) // tile_w) + (px // tile_w)
+    ) * (tile_w * tile_h) + (py % tile_h) * tile_w + (px % tile_w)
+    order = np.argsort(key, kind="stable")
+    return order
+
+
 def render_frame(tree: VoxelOctree, cam: camera_ops.Camera,
                  width: int, height: int, show_color: bool = False):
     """Returns (u8[H, W, 3] image, f32[H, W] depth)."""
     ro, rd = camera_ops.np_frame_rays(cam, width, height)
-    img, t = render_rays(tree, ro, rd, show_color=show_color)
+    order = tile_order(width, height)
+    img, t = render_rays(tree, ro[order], rd[order], show_color=show_color)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
     return (
-        np.asarray(img).reshape(height, width, 3),
-        np.asarray(t).reshape(height, width),
+        np.asarray(img)[inv].reshape(height, width, 3),
+        np.asarray(t)[inv].reshape(height, width),
     )

@@ -71,6 +71,7 @@ class VoxelOctree:
     emission: jax.Array | None = None  # u32 [n_voxels] packed rgb8
     n_voxels: int = 0
     has_emission: bool = False
+    meta: jax.Array | None = None  # u32 [N, 16]: children[8] ++ psum[8]
 
     @property
     def root(self) -> int:
@@ -231,7 +232,10 @@ def _assemble(level_nodes, offsets, *, total_pad: int):
     children = jnp.where(
         children == _c(INVALID), children, children | (child_mask << 24)
     )
-    return children, psum, mask
+    # fused node record: one 16-wide row gather fetches children + psums
+    # (gathers on this backend cost per ROW, not per element)
+    meta = jnp.concatenate([children, psum], axis=1)
+    return children, psum, mask, meta
 
 
 def build_octree(
@@ -290,7 +294,7 @@ def build_octree(
 
     p_max = max(ch.shape[0] for ch, _, _ in level_nodes)
     total_pad = bucket(total + p_max)
-    children, psum, mask = _assemble(
+    children, psum, mask, meta = _assemble(
         tuple(level_nodes), jnp.asarray(offsets, I32), total_pad=total_pad
     )
 
@@ -310,4 +314,5 @@ def build_octree(
         emission=emission,
         n_voxels=int(n_voxels),
         has_emission=bool(has_emission),
+        meta=meta,
     )

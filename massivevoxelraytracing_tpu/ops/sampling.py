@@ -68,7 +68,14 @@ def np_pmj02_samples(num_samples: int, uniform) -> np.ndarray:
 
 def make_pmj_table(n_sequence: int = N_SEQUENCE, length: int = LENGTH,
                    seed: int = 0, stream: int = 2525) -> np.ndarray:
-    """All sequences: f32 [n_sequence, length, 2] (PMJSampler::setup)."""
+    """All sequences: f32 [n_sequence, length, 2] (PMJSampler::setup).
+    Uses the native generator when available (bit-exact with the python
+    one, tested); python fallback otherwise."""
+    from ..utils import native
+
+    fast = native.pmj02_table(n_sequence, length, seed, stream)
+    if fast is not None:
+        return fast
     rng = NpPCG32(seed, stream)
     out = np.zeros((n_sequence, length, 2), np.float32)
     for i in range(n_sequence):

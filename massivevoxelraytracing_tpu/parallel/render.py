@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import traverse
+from ..ops import traverse, traverse2
 from ..ops.bits import uniformf
 from ..ops.hashing import hash_combine
 from ..ops.octree import VoxelOctree
@@ -23,7 +23,7 @@ from ..ops.voxelize import rgb8_to_f32
 
 
 def _jittered_raycast_radiance(
-    children_flat, psum_flat, root_entry, lower, upper, color_table,
+    meta, root_entry, lower, upper, color_table,
     ro, rd_base, right, up, pix_scale, seeds, stack_depth: int,
 ):
     """One jittered primary sample per ray: anti-aliased voxel-color radiance
@@ -36,8 +36,8 @@ def _jittered_raycast_radiance(
         + (u0 - 0.5)[:, None] * pix_scale * right[None, :]
         + (u1 - 0.5)[:, None] * pix_scale * up[None, :]
     )
-    t, nmaj, vidx = traverse.intersect_rays(
-        children_flat, psum_flat, root_entry, lower, upper, ro, rd,
+    t, nmaj, vidx = traverse2.intersect_rays2(
+        meta, root_entry, lower, upper, ro, rd,
         stack_depth=stack_depth,
     )
     hit = t < 1e37
@@ -49,9 +49,9 @@ def make_sharded_step(mesh: Mesh, stack_depth: int, spp_per_device: int = 2):
     """Returns a jitted step: (tree arrays, rays, accum) -> accum + psum'd
     radiance over the 'sp' axis. accum layout: f32[R, 4] (rgb, n)."""
 
-    def step(children_flat, psum_flat, root_entry, lower, upper, color_table,
+    def step(meta, root_entry, lower, upper, color_table,
              ro, rd, right, up, pix_scale, accum, spp_base):
-        def shard_fn(children_flat, psum_flat, root_entry, lower, upper,
+        def shard_fn(meta, root_entry, lower, upper,
                      color_table, ro, rd, right, up, pix_scale, accum,
                      spp_base):
             r = ro.shape[0]
@@ -64,7 +64,7 @@ def make_sharded_step(mesh: Mesh, stack_depth: int, spp_per_device: int = 2):
                     spp_base + sp_idx * jnp.uint32(spp_per_device) + jnp.uint32(s),
                 )
                 total = total + _jittered_raycast_radiance(
-                    children_flat, psum_flat, root_entry, lower, upper,
+                    meta, root_entry, lower, upper,
                     color_table, ro, rd, right, up, pix_scale, seeds,
                     stack_depth,
                 )
@@ -79,14 +79,14 @@ def make_sharded_step(mesh: Mesh, stack_depth: int, spp_per_device: int = 2):
             shard_fn,
             mesh=mesh,
             in_specs=(
-                P(), P(), P(), P(), P(), P(),  # tree replicated
+                P(), P(), P(), P(), P(),  # tree replicated
                 P("dp"), P("dp"),  # rays sharded over pixels
                 P(), P(), P(),
                 P("dp"),  # accum sharded over pixels
                 P(),
             ),
             out_specs=P("dp"),
-        )(children_flat, psum_flat, root_entry, lower, upper, color_table,
+        )(meta, root_entry, lower, upper, color_table,
           ro, rd, right, up, pix_scale, accum, spp_base)
 
     return jax.jit(step)

@@ -25,6 +25,12 @@ def read_hdr(path: str) -> np.ndarray:
     toks = res_line.split()
     assert toks[0] == "-Y" and toks[2] == "+X", f"unsupported layout {res_line}"
     h, w = int(toks[1]), int(toks[3])
+
+    from . import native
+
+    fast = native.hdr_decode(data[res_end + 1 :], w, h)
+    if fast is not None:
+        return fast
     pix = np.frombuffer(data[res_end + 1 :], np.uint8)
 
     out = np.zeros((h, w, 4), np.uint8)

@@ -26,6 +26,11 @@ def load(path: str):
 
 
 def load_obj(path: str):
+    from . import native
+
+    fast = native.obj_parse(path)
+    if fast is not None:
+        return fast, None
     verts = []
     faces = []
     with open(path) as f:

@@ -43,8 +43,13 @@ def encode(img: np.ndarray, compress_level: int = 1) -> bytes:
 
 
 def write(path: str, img: np.ndarray, compress_level: int = 1) -> None:
+    from . import native
+
+    data = native.png_encode(np.asarray(img), compress_level)
+    if data is None:
+        data = encode(img, compress_level)
     with open(path, "wb") as f:
-        f.write(encode(img, compress_level))
+        f.write(data)
 
 
 def read(path: str) -> np.ndarray:
