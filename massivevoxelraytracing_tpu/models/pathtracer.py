@@ -283,6 +283,29 @@ class PathTracer:
         )
         self.steps += 1
 
+    def save_checkpoint(self, path: str, frame: int = 0):
+        """Serialize progressive state (accum buffer, spp steps, frame) --
+        the minimal restart point the reference lacks (SURVEY.md section 5:
+        'serialize (accum buffer, spp, frame index) -- trivial')."""
+        np.savez(
+            path,
+            accum=np.asarray(self.accum),
+            steps=np.int64(self.steps),
+            frame=np.int64(frame),
+            width=np.int64(self.width),
+            height=np.int64(self.height),
+        )
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restore progressive state; returns the stored frame index."""
+        z = np.load(path)
+        assert int(z["width"]) == self.width and int(z["height"]) == self.height, (
+            "checkpoint resolution mismatch"
+        )
+        self.accum = jnp.asarray(z["accum"])
+        self.steps = int(z["steps"])
+        return int(z["frame"])
+
     def resolve(self) -> np.ndarray:
         """accum -> u8 image with 1/2.2 gamma (renderResolve)."""
         acc = np.asarray(self.accum)
