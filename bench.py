@@ -37,12 +37,15 @@ def main():
     height = int(os.environ.get("MVRT_BENCH_H", 1080))
     iters = int(os.environ.get("MVRT_BENCH_ITERS", 4))
 
+    accel = os.environ.get("MVRT_BENCH_ACCEL", "brick")
     tri = meshgen.bumpy_sphere(
         int(os.environ.get("MVRT_BENCH_SUBDIV", 5)), radius=0.9
     )
     origin, dps = meshgen.fit_grid(tri, grid_res)
     t0 = time.time()
-    tree = scene.build_scene(tri, origin=origin, dps=dps, grid_res=grid_res)
+    tree = scene.build_scene(
+        tri, origin=origin, dps=dps, grid_res=grid_res, accel=accel
+    )
     build_s = time.time() - t0
 
     lo = np.asarray(origin)
@@ -63,8 +66,9 @@ def main():
     mrays = width * height / dt / 1e6
     hit_frac = float(np.mean(np.asarray(depth) < 1e37))
     sys.stderr.write(
-        f"[bench] res={grid_res} voxels={tree.n_voxels} nodes={tree.n_nodes} "
-        f"build={build_s:.1f}s frame={dt*1e3:.1f}ms hit={hit_frac:.2f}\n"
+        f"[bench] res={grid_res} accel={accel} voxels={tree.n_voxels} "
+        f"nodes={tree.n_nodes} build={build_s:.1f}s frame={dt*1e3:.1f}ms "
+        f"hit={hit_frac:.2f}\n"
     )
     print(
         json.dumps(

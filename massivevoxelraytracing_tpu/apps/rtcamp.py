@@ -52,8 +52,10 @@ def main(argv=None):
     ap.add_argument("--from-res", type=int, default=128)
     ap.add_argument("--to-res", type=int, default=256)
     ap.add_argument("--lens-r", type=float, default=0.0)
+    ap.add_argument("--accel", choices=["octree", "brick"], default="brick")
     ap.add_argument("--hdri", default="procedural",
                     help="'procedural', 'none', or a .hdr path")
+    ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default="out/anim")
     args = ap.parse_args(argv)
 
@@ -99,7 +101,8 @@ def main(argv=None):
 
         t0 = time.time()
         tree = scene.build_scene(
-            tri, col, emi, origin=origin, dps=dps, grid_res=grid_res
+            tri, col, emi, origin=origin, dps=dps, grid_res=grid_res,
+            accel=args.accel,
         )
         t_update = time.time() - t0
 

@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--snapshot-every", type=int, default=4)
     ap.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     ap.add_argument("--checkpoint", default=None, help="write checkpoint here")
+    ap.add_argument("--accel", choices=["octree", "brick"], default="brick")
+    ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default="out/pt")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
@@ -61,9 +63,9 @@ def main(argv=None):
     tree = scene.build_scene(
         tri, col, emi, origin=origin, dps=dps, grid_res=args.res,
         six_separating=cfg.six_separating, dag=cfg.dag, cap=cfg.cap,
-        chunk_tris=cfg.chunk_tris,
+        chunk_tris=cfg.chunk_tris, accel=args.accel,
     )
-    t_build = sw.lap("build", tree.children)
+    t_build = sw.lap("build", tree.meta)
     print(
         f"[voxpt] res({args.res}) voxels({tree.n_voxels}) nodes({tree.n_nodes}) "
         f"octree({tree.memory_bytes()/1e6:.2f} MB) emissive({tree.has_emission}) "
@@ -98,6 +100,8 @@ def main(argv=None):
         start_step = pt.steps
         print(f"[voxpt] resumed at {start_step * 16} spp")
 
+    prof = runtime.profile(args.profile)
+    prof.__enter__()
     for step in range(start_step, args.steps):
         t0 = time.time()
         pt.step(cam)
@@ -113,6 +117,7 @@ def main(argv=None):
         if args.checkpoint:
             pt.save_checkpoint(args.checkpoint)
 
+    prof.__exit__(None, None, None)
     png.write(os.path.join(args.out, "render_final.png"), pt.resolve())
     print(f"[voxpt] {pt.steps * 16} spp -> {args.out}/render_final.png")
 

@@ -43,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--dag", type=int, default=1)
     ap.add_argument("--oracle", action="store_true",
                     help="A/B against the brute-force intersector")
+    ap.add_argument("--accel", choices=["octree", "brick"], default="brick")
+    ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default="out")
     args = ap.parse_args(argv)
 
@@ -55,8 +57,9 @@ def main(argv=None):
         tri, colors, emissions,
         origin=origin, dps=dps, grid_res=args.res,
         six_separating=bool(args.six_separating), dag=bool(args.dag),
+        accel=args.accel,
     )
-    t_build = sw.lap("build", tree.children)
+    t_build = sw.lap("build", tree.meta)
 
     lo = np.asarray(origin)
     extent = float(dps) * args.res
@@ -66,9 +69,10 @@ def main(argv=None):
         target=center,
         fovy_deg=40.0,
     )
-    img, depth = raycast.render_frame(
-        tree, cam, args.width, args.height, show_color=(args.mode == "color")
-    )
+    with runtime.profile(args.profile):
+        img, depth = raycast.render_frame(
+            tree, cam, args.width, args.height, show_color=(args.mode == "color")
+        )
     img = np.asarray(img)
     t_render = sw.lap("render", img)
 

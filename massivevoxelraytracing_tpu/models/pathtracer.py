@@ -32,7 +32,8 @@ import numpy as np
 
 from ..ops import camera as camera_ops
 from ..ops import hdri as hdri_ops
-from ..ops import sampling, traverse, traverse2
+from ..ops import sampling, traverse
+from . import accel as accel_lib
 from ..ops.bits import U32, u32
 from ..ops.hashing import hash_combine
 from ..ops.octree import VoxelOctree
@@ -49,7 +50,10 @@ def _sample2d(table, spp, dim, stream):
 
 @partial(
     jax.jit,
-    static_argnames=("stack_depth", "has_emission", "hdri_enabled", "extra_implicit"),
+    static_argnames=(
+        "accel_kind", "stack_depth", "has_emission", "hdri_enabled",
+        "extra_implicit",
+    ),
 )
 def pt_sample(
     meta,
@@ -76,6 +80,7 @@ def pt_sample(
     spp,
     emission_scale,
     *,
+    accel_kind: str = "octree",
     stack_depth: int,
     has_emission: bool,
     hdri_enabled: bool,
@@ -94,9 +99,9 @@ def pt_sample(
         return _sample2d(pmj_table, spp, d, stream)
 
     def intersect(ro, rd, shadow):
-        return traverse2.intersect_rays2(
-            meta, root_entry, lower, upper, ro, rd,
-            stack_depth=stack_depth, shadow=shadow, block=8192,
+        return accel_lib.intersect_with(
+            accel_kind, stack_depth, meta, root_entry, lower, upper, ro, rd,
+            shadow=shadow,
         )
 
     # --- thin-lens primary (voxKernel.cu:662-667)
@@ -226,7 +231,7 @@ class PathTracer:
         if env is None:
             # disabled env: zero-radiance 1x1 (isEnabled() == false path)
             env = hdri_ops.load(np.zeros((1, 1, 3), np.float32), scale=0.0)
-        depth = max(int(tree.grid_res).bit_length() - 1, 1)
+        kind, depth, acc_meta, acc_root = accel_lib.accel_args(tree)
 
         n = self.width * self.height
         n_pad = -(-n // self.packet) * self.packet
@@ -247,8 +252,8 @@ class PathTracer:
             for s in range(n_spp):
                 spp = self.steps * N_BATCH_SPP + s
                 li = pt_sample(
-                    traverse2.tree_meta(tree),
-                    traverse.root_entry_of(tree),
+                    acc_meta,
+                    acc_root,
                     tree.lower,
                     tree.upper,
                     tree.color if tree.color is not None else jnp.zeros(1, U32),
@@ -270,6 +275,7 @@ class PathTracer:
                     pixel_hash,
                     jnp.uint32(spp),
                     jnp.float32(self.emission_scale),
+                    accel_kind=kind,
                     stack_depth=depth,
                     has_emission=tree.has_emission,
                     hdri_enabled=self.env is not None and env.scale > 0,

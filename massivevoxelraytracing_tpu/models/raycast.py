@@ -16,22 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import camera as camera_ops
-from ..ops import traverse, traverse2
-from ..ops.octree import VoxelOctree
 from ..ops.voxelize import rgb8_to_f32
+from . import accel as accel_lib
 
 RAY_PACKET = 1 << 16  # 65536 rays per traversal dispatch
-TRAVERSE_BLOCK = 8192  # sub-block inside the packet (see traverse2)
 
 
-@partial(jax.jit, static_argnames=("stack_depth", "show_color"))
+@partial(jax.jit, static_argnames=("kind", "depth", "show_color"))
 def _render_packet(
-    meta, root_entry, lower, upper, color_table,
-    ro, rd, *, stack_depth: int, show_color: bool,
+    meta, root, lower, upper, color_table,
+    ro, rd, *, kind: str, depth: int, show_color: bool,
 ):
-    t, nmaj, vidx = traverse2.intersect_rays2(
-        meta, root_entry, lower, upper, ro, rd,
-        stack_depth=stack_depth, block=TRAVERSE_BLOCK,
+    from ..ops import traverse
+
+    t, nmaj, vidx = accel_lib.intersect_with(
+        kind, depth, meta, root, lower, upper, ro, rd
     )
     hit = t < 1e37
     if show_color:
@@ -44,11 +43,11 @@ def _render_packet(
     return img, t
 
 
-def render_rays(tree: VoxelOctree, ro: np.ndarray, rd: np.ndarray,
+def render_rays(tree, ro: np.ndarray, rd: np.ndarray,
                 show_color: bool = False, packet: int = RAY_PACKET):
     """Render arbitrary ray arrays in fixed-size packets.
     Returns (u8[N, 3], f32[N])."""
-    depth = max(int(tree.grid_res).bit_length() - 1, 1)
+    kind, depth, meta, root = accel_lib.accel_args(tree)
     color = tree.color if tree.color is not None else jnp.zeros(1, jnp.uint32)
     n = len(ro)
     n_pad = -(-n // packet) * packet
@@ -57,14 +56,12 @@ def render_rays(tree: VoxelOctree, ro: np.ndarray, rd: np.ndarray,
         rd = np.concatenate([rd, np.ones((n_pad - n, 3), np.float32)])
     imgs = []
     ts = []
-    meta = traverse2.tree_meta(tree)
-    root = traverse.root_entry_of(tree)
     for k in range(n_pad // packet):
         sl = slice(k * packet, (k + 1) * packet)
         img, t = _render_packet(
             meta, root, tree.lower, tree.upper, color,
             jnp.asarray(ro[sl]), jnp.asarray(rd[sl]),
-            stack_depth=depth, show_color=show_color,
+            kind=kind, depth=depth, show_color=show_color,
         )
         imgs.append(img)
         ts.append(t)
@@ -88,7 +85,7 @@ def tile_order(width: int, height: int, tile_w: int = 128, tile_h: int = 64):
     return order
 
 
-def render_frame(tree: VoxelOctree, cam: camera_ops.Camera,
+def render_frame(tree, cam: camera_ops.Camera,
                  width: int, height: int, show_color: bool = False):
     """Returns (u8[H, W, 3] image, f32[H, W] depth)."""
     ro, rd = camera_ops.np_frame_rays(cam, width, height)

@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import bricktree as brick_ops
 from ..ops import octree as octree_ops
 from ..ops import voxelize as vox_ops
 from ..ops.bits import U32
@@ -68,7 +69,8 @@ def build_scene(
     cap: int = 4,
     dag: bool = True,
     chunk_tris: int = 65536,
-) -> octree_ops.VoxelOctree:
+    accel: str = "octree",
+):
     """Voxelize + build. tri_*: f32[T, 3, 3] host arrays."""
     tri_verts = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
     if tri_colors is None:
@@ -123,16 +125,41 @@ def build_scene(
     n_unique = int(uniq["n_unique"])  # readback 2
     pad = octree_ops.bucket(n_unique)
     lower = origin_j
-    upper = lower + jnp.float32(dps) * grid_res
-    return octree_ops.build_octree(
-        uniq["m_hi"][:pad],
-        uniq["m_lo"][:pad],
-        n_unique,
-        grid_res,
-        dag=dag,
-        lower=lower,
-        upper=upper,
-        color=uniq["color"][:pad],
-        emission=uniq["emission"][:pad],
-        has_emission=bool(uniq["has_emission"]),
+    # observability counters the reference surfaces in its stats lines /
+    # ImGui panels (dumped voxels, unique voxels, SURVEY.md section 5)
+    stats = dict(
+        n_triangles=int(n_tri),
+        n_dumped=total_dumped,
+        n_unique=n_unique,
+        grid_res=grid_res,
     )
+    if accel == "brick":
+        tree = brick_ops.build_bricktree(
+            uniq["m_hi"][:pad],
+            uniq["m_lo"][:pad],
+            n_unique,
+            grid_res,
+            lower=lower,
+            dps=float(dps),
+            color=uniq["color"][:pad],
+            emission=uniq["emission"][:pad],
+            has_emission=bool(uniq["has_emission"]),
+        )
+    else:
+        upper = lower + jnp.float32(dps) * grid_res
+        tree = octree_ops.build_octree(
+            uniq["m_hi"][:pad],
+            uniq["m_lo"][:pad],
+            n_unique,
+            grid_res,
+            dag=dag,
+            lower=lower,
+            upper=upper,
+            color=uniq["color"][:pad],
+            emission=uniq["emission"][:pad],
+            has_emission=bool(uniq["has_emission"]),
+        )
+    stats["n_nodes"] = tree.n_nodes
+    stats["accel_bytes"] = tree.memory_bytes()
+    tree.build_stats = stats
+    return tree

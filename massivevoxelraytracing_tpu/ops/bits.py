@@ -76,6 +76,15 @@ def scramble_f32(x, seed):
     return jax.lax.bitcast_convert_type(scrambled, F32) - 1.0
 
 
+def popcount32(v):
+    """Population count of a uint32."""
+    v = u32(v)
+    v = v - ((v >> 1) & _c(0x55555555))
+    v = (v & _c(0x33333333)) + ((v >> 2) & _c(0x33333333))
+    v = (v + (v >> 4)) & _c(0x0F0F0F0F)
+    return (v * _c(0x01010101)) >> 24
+
+
 def popcount8(v):
     """Population count of the low 8 bits of a uint32."""
     v = u32(v) & _c(0xFF)

@@ -27,6 +27,27 @@ def setup(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def profile(trace_dir: str | None):
+    """jax.profiler trace wrapper (the reference ships --generate-line-info
+    kernels for external profilers, PathTracer.hpp:56-66; ours emits a
+    TensorBoard/XProf trace)."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    os.makedirs(trace_dir, exist_ok=True)
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 class Stopwatch:
     """Per-phase wall timers with the reference's stats-line spirit
     (RTCamp.cpp:195: '[frame N] res() total() / update / render')."""
