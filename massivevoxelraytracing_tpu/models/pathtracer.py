@@ -41,7 +41,7 @@ from ..ops.voxelize import rgb8_to_f32
 
 MAX_BOUNCES = 8
 N_BATCH_SPP = 16  # nBatchSpp (voxKernel.cu:631)
-RAY_PACKET = 1 << 16
+RAY_PACKET = 1 << 21  # max (pixel x spp) rays per pt_sample dispatch
 
 
 def _sample2d(table, spp, dim, stream):
@@ -86,7 +86,11 @@ def pt_sample(
     hdri_enabled: bool,
     extra_implicit: bool,
 ):
-    """One path-traced sample for a packet of pixels. Returns f32[R, 3]."""
+    """One path-traced sample per (pixel, spp) lane. px/py/pixel_hash/spp are
+    [R] arrays -- the whole 16-spp batch of a pixel packet rides one
+    wavefront so every traversal dispatch is amortized over the full batch
+    (the reference's 256-pixel x 16-spp task striping, voxKernel.cu:631-642).
+    Returns f32[R, 3]."""
     R = px.shape[0]
     stream = pixel_hash
     spp = jnp.broadcast_to(u32(spp), (R,))
@@ -234,55 +238,63 @@ class PathTracer:
         kind, depth, acc_meta, acc_root = accel_lib.accel_args(tree)
 
         n = self.width * self.height
-        n_pad = -(-n // self.packet) * self.packet
+        # pixel sub-packet: the spp batch multiplies the wavefront width;
+        # adapt to the frame (pow2 buckets) but cap pixels * n_spp at packet
+        np2 = 1 << max(n - 1, 1).bit_length()
+        pix_packet = max(min(self.packet // max(n_spp, 1), np2), 1024)
+        n_pad = -(-n // pix_packet) * pix_packet
         px_all = np.arange(n_pad, dtype=np.uint32) % self.width
         py_all = np.minimum(
             np.arange(n_pad, dtype=np.uint32) // self.width, self.height - 1
         )
 
-        total = jnp.zeros((n_pad, 3), jnp.float32)
         parts = []
-        for k in range(n_pad // self.packet):
-            sl = slice(k * self.packet, (k + 1) * self.packet)
-            pix_idx = jnp.asarray(
-                np.arange(k * self.packet, (k + 1) * self.packet, dtype=np.uint32)
-            )
-            pixel_hash = hash_combine(jnp.uint32(0), pix_idx)  # MurmurHash32(0).combine(pixelIdx)
-            acc_k = jnp.zeros((self.packet, 3), jnp.float32)
-            for s in range(n_spp):
-                spp = self.steps * N_BATCH_SPP + s
-                li = pt_sample(
-                    acc_meta,
-                    acc_root,
-                    tree.lower,
-                    tree.upper,
-                    tree.color if tree.color is not None else jnp.zeros(1, U32),
-                    tree.emission if tree.emission is not None else jnp.zeros(1, U32),
-                    self.pmj_table,
-                    env,
-                    jnp.asarray(cam.o),
-                    jnp.asarray(cam.right),
-                    jnp.asarray(cam.up),
-                    jnp.asarray(cam.front),
-                    jnp.float32(cam.tan_half_fovy),
-                    jnp.float32(cam.lens_r),
-                    jnp.float32(cam.focus),
-                    jnp.asarray(px_all[sl.start:sl.stop]),
-                    jnp.asarray(py_all[sl.start:sl.stop]),
-                    jnp.float32(1.0 / self.width),
-                    jnp.float32(1.0 / self.height),
-                    jnp.float32(self.width / self.height),
-                    pixel_hash,
-                    jnp.uint32(spp),
-                    jnp.float32(self.emission_scale),
-                    accel_kind=kind,
-                    stack_depth=depth,
-                    has_emission=tree.has_emission,
-                    hdri_enabled=self.env is not None and env.scale > 0,
-                    extra_implicit=True,
+        for k in range(n_pad // pix_packet):
+            sl = slice(k * pix_packet, (k + 1) * pix_packet)
+            pix_idx = np.arange(sl.start, sl.stop, dtype=np.uint32)
+            # (spp-major, pixel-minor) striping: r = s * P + p
+            px_r = jnp.asarray(np.tile(px_all[sl], n_spp))
+            py_r = jnp.asarray(np.tile(py_all[sl], n_spp))
+            hash_r = hash_combine(
+                jnp.uint32(0), jnp.asarray(np.tile(pix_idx, n_spp))
+            )  # MurmurHash32(0).combine(pixelIdx)
+            spp_r = jnp.asarray(
+                np.repeat(
+                    self.steps * N_BATCH_SPP + np.arange(n_spp, dtype=np.uint32),
+                    pix_packet,
                 )
-                acc_k = acc_k + li
-            parts.append(acc_k)
+            )
+            li = pt_sample(
+                acc_meta,
+                acc_root,
+                tree.lower,
+                tree.upper,
+                tree.color if tree.color is not None else jnp.zeros(1, U32),
+                tree.emission if tree.emission is not None else jnp.zeros(1, U32),
+                self.pmj_table,
+                env,
+                jnp.asarray(cam.o),
+                jnp.asarray(cam.right),
+                jnp.asarray(cam.up),
+                jnp.asarray(cam.front),
+                jnp.float32(cam.tan_half_fovy),
+                jnp.float32(cam.lens_r),
+                jnp.float32(cam.focus),
+                px_r,
+                py_r,
+                jnp.float32(1.0 / self.width),
+                jnp.float32(1.0 / self.height),
+                jnp.float32(self.width / self.height),
+                hash_r,
+                spp_r,
+                jnp.float32(self.emission_scale),
+                accel_kind=kind,
+                stack_depth=depth,
+                has_emission=tree.has_emission,
+                hdri_enabled=self.env is not None and env.scale > 0,
+                extra_implicit=True,
+            )
+            parts.append(li.reshape(n_spp, pix_packet, 3).sum(0))
         radiance = jnp.concatenate(parts)[:n]
         self.accum = self.accum + jnp.concatenate(
             [radiance, jnp.full((n, 1), float(n_spp), jnp.float32)], axis=1

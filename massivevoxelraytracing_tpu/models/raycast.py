@@ -19,7 +19,12 @@ from ..ops import camera as camera_ops
 from ..ops.voxelize import rgb8_to_f32
 from . import accel as accel_lib
 
-RAY_PACKET = 1 << 16  # 65536 rays per traversal dispatch
+MAX_RAY_PACKET = 1 << 21  # up to 2M rays per render dispatch
+RAY_PACKET = MAX_RAY_PACKET  # kept for callers; render_rays adapts downward
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
 
 
 @partial(jax.jit, static_argnames=("kind", "depth", "show_color"))
@@ -44,15 +49,19 @@ def _render_packet(
 
 
 def render_rays(tree, ro: np.ndarray, rd: np.ndarray,
-                show_color: bool = False, packet: int = RAY_PACKET):
-    """Render arbitrary ray arrays in fixed-size packets.
-    Returns (u8[N, 3], f32[N])."""
+                show_color: bool = False, packet: int | None = None):
+    """Render arbitrary ray arrays in pow2-bucketed packets (one compile per
+    bucket; padding rays start outside the root box and retire on iteration
+    zero). Returns (u8[N, 3], f32[N])."""
     kind, depth, meta, root = accel_lib.accel_args(tree)
     color = tree.color if tree.color is not None else jnp.zeros(1, jnp.uint32)
     n = len(ro)
+    if packet is None:
+        packet = min(MAX_RAY_PACKET, max(_next_pow2(n), 8192))
     n_pad = -(-n // packet) * packet
     if n_pad != n:
-        ro = np.concatenate([ro, np.zeros((n_pad - n, 3), np.float32)])
+        far = np.full((n_pad - n, 3), 1e9, np.float32)
+        ro = np.concatenate([ro, far])
         rd = np.concatenate([rd, np.ones((n_pad - n, 3), np.float32)])
     imgs = []
     ts = []

@@ -1,0 +1,88 @@
+"""Multi-chip sharding correctness: the ('dp','sp') sharded PT step must
+reproduce the single-chip integrator (same PMJ streams, psum'd spp batch)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from massivevoxelraytracing_tpu.models import scene
+from massivevoxelraytracing_tpu.models.pathtracer import pt_sample
+from massivevoxelraytracing_tpu.models import accel as accel_lib
+from massivevoxelraytracing_tpu.ops import camera as camera_ops
+from massivevoxelraytracing_tpu.ops import hdri as hdri_ops, sampling
+from massivevoxelraytracing_tpu.ops.hashing import hash_combine
+from massivevoxelraytracing_tpu.parallel import mesh as mesh_lib
+from massivevoxelraytracing_tpu.parallel import render as prender
+from massivevoxelraytracing_tpu.utils import hdr, meshgen
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_pt_equals_single_chip():
+    grid_res = 16
+    tri = meshgen.icosphere(2, radius=0.85)
+    origin, dps = meshgen.fit_grid(tri, grid_res)
+    col = meshgen.vertex_colors_from_position(tri, *meshgen.mesh_bounds(tri))
+    tree = scene.build_scene(tri, col, origin=origin, dps=dps, grid_res=grid_res)
+
+    extent = float(dps) * grid_res
+    center = np.asarray(origin) + extent / 2
+    cam = camera_ops.Camera.look_at(
+        eye=center + np.array([0.8, 0.5, 1.5]) * extent, target=center
+    )
+    env = hdri_ops.load(hdr.procedural_sky(32, 16), scale=1.0)
+    pmj = jnp.asarray(sampling.make_pmj_table(16, 512))
+
+    m = mesh_lib.make_mesh(8)
+    dp, sp = m.devices.shape
+    width, height = 16, 8 * dp
+    n = width * height
+    idx = np.arange(n, dtype=np.uint32)
+    px = jnp.asarray(idx % width)
+    py = jnp.asarray(idx // width)
+    pixel_hash = hash_combine(jnp.uint32(0), jnp.asarray(idx))
+
+    kind, depth, meta, root = accel_lib.accel_args(tree)
+    common = dict(
+        accel_kind=kind, stack_depth=depth,
+        has_emission=tree.has_emission, hdri_enabled=True,
+        extra_implicit=True,
+    )
+    args_head = (
+        meta, root, tree.lower, tree.upper,
+        tree.color, tree.emission, pmj, env,
+        jnp.asarray(cam.o), jnp.asarray(cam.right), jnp.asarray(cam.up),
+        jnp.asarray(cam.front), jnp.float32(cam.tan_half_fovy),
+        jnp.float32(cam.lens_r), jnp.float32(cam.focus),
+    )
+    tail = (
+        jnp.float32(1.0 / width), jnp.float32(1.0 / height),
+        jnp.float32(width / height),
+    )
+
+    # single-chip: sum over the spp batch sequentially
+    spd = 1
+    n_spp = sp * spd
+    single = jnp.zeros((n, 3), jnp.float32)
+    for s in range(n_spp):
+        single = single + pt_sample(
+            *args_head, px, py, *tail, pixel_hash,
+            jnp.uint32(s), jnp.float32(7.5), **common,
+        )
+
+    # sharded: pixels over dp, spp over sp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s_dp = NamedSharding(m, P("dp"))
+    accum = jnp.zeros((n, 4), jnp.float32)
+    pxs, pys, hs, accs = (
+        jax.device_put(v, s_dp) for v in (px, py, pixel_hash, accum)
+    )
+    step = prender.make_sharded_pt_step(
+        m, stack_depth=depth, spp_per_device=spd, width=width, height=height,
+        has_emission=tree.has_emission, hdri_enabled=True,
+    )
+    out = np.asarray(step(*args_head, pxs, pys, hs, accs, jnp.uint32(0)))
+
+    assert np.all(out[:, 3] == n_spp)
+    np.testing.assert_allclose(out[:, :3], np.asarray(single), rtol=2e-5, atol=2e-5)
