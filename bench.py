@@ -25,6 +25,7 @@ from massivevoxelraytracing_tpu.utils import runtime
 runtime.setup()
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from massivevoxelraytracing_tpu.models import raycast, scene  # noqa: E402
 from massivevoxelraytracing_tpu.ops import camera as camera_ops  # noqa: E402
@@ -58,13 +59,15 @@ def main():
     )
 
     img, depth = raycast.render_frame(tree, cam, width, height)  # compile+warm
+    jax.block_until_ready(depth)
     t0 = time.time()
     for _ in range(iters):
         img, depth = raycast.render_frame(tree, cam, width, height)
+        jax.block_until_ready(depth)  # sync without the ~10 MB/s readback
     dt = (time.time() - t0) / iters
 
     mrays = width * height / dt / 1e6
-    hit_frac = float(np.mean(np.asarray(depth) < 1e37))
+    hit_frac = float(jnp.mean((depth < 1e37).astype(jnp.float32)))
     sys.stderr.write(
         f"[bench] res={grid_res} accel={accel} voxels={tree.n_voxels} "
         f"nodes={tree.n_nodes} build={build_s:.1f}s frame={dt*1e3:.1f}ms "

@@ -100,11 +100,14 @@ def main(argv=None):
         start_step = pt.steps
         print(f"[voxpt] resumed at {start_step * 16} spp")
 
+    import jax
+
     prof = runtime.profile(args.profile)
     prof.__enter__()
     for step in range(start_step, args.steps):
         t0 = time.time()
         pt.step(cam)
+        jax.block_until_ready(pt.accum)
         dt = time.time() - t0
         spp = pt.steps * 16
         print(f"[voxpt] step {step}: +16 spp -> {spp} spp ({dt*1e3:.1f} ms)")

@@ -73,8 +73,9 @@ def main(argv=None):
         img, depth = raycast.render_frame(
             tree, cam, args.width, args.height, show_color=(args.mode == "color")
         )
+    jax.block_until_ready(depth)
+    t_render = sw.lap("render", depth)
     img = np.asarray(img)
-    t_render = sw.lap("render", img)
 
     out_path = os.path.join(args.out, "voxrt.png")
     png.write(out_path, img)

@@ -51,6 +51,7 @@ def _sample2d(table, spp, dim, stream):
 @partial(
     jax.jit,
     static_argnames=(
+        "width", "pix_packet", "n_spp",
         "accel_kind", "stack_depth", "has_emission", "hdri_enabled",
         "extra_implicit",
     ),
@@ -71,29 +72,40 @@ def pt_sample(
     tan_half_fovy,
     lens_r,
     focus,
-    px,
-    py,
+    pix_start,
+    spp_base,
     inv_w,
     inv_h,
     aspect,
-    pixel_hash,
-    spp,
     emission_scale,
     *,
+    width: int,
+    pix_packet: int,
+    n_spp: int,
     accel_kind: str = "octree",
     stack_depth: int,
     has_emission: bool,
     hdri_enabled: bool,
     extra_implicit: bool,
 ):
-    """One path-traced sample per (pixel, spp) lane. px/py/pixel_hash/spp are
-    [R] arrays -- the whole 16-spp batch of a pixel packet rides one
-    wavefront so every traversal dispatch is amortized over the full batch
-    (the reference's 256-pixel x 16-spp task striping, voxKernel.cu:631-642).
-    Returns f32[R, 3]."""
-    R = px.shape[0]
-    stream = pixel_hash
-    spp = jnp.broadcast_to(u32(spp), (R,))
+    """Path-traced samples for (pixel, spp) lanes generated ON DEVICE from
+    two scalars (pix_start, spp_base): lane r = s * pix_packet + p covers
+    pixel pix_start + p at sample spp_base + s -- the whole n_spp batch of a
+    pixel packet rides one wavefront so every traversal dispatch is
+    amortized over the full batch (the reference's 256-pixel x 16-spp task
+    striping, voxKernel.cu:631-642). Host->device traffic per call is a few
+    scalars (the tunnel reads back at ~10 MB/s and writes at ~1 GB/s, so
+    array shipping is taboo). Returns f32[R, 3] with R = pix_packet * n_spp.
+    """
+    R = pix_packet * n_spp
+    lane = jnp.arange(R, dtype=jnp.uint32)
+    pix_idx = u32(pix_start) + (lane % jnp.uint32(pix_packet))
+    px = pix_idx % jnp.uint32(width)
+    py = pix_idx // jnp.uint32(width)  # rows past the frame render harmlessly
+    # and their radiance is sliced away by the caller
+    # MurmurHash32(0).combine(pixelIdx) (voxKernel.cu:648-653)
+    stream = hash_combine(jnp.uint32(0), pix_idx)
+    spp = u32(spp_base) + lane // jnp.uint32(pix_packet)
 
     dim_counter = [0]
 
@@ -146,7 +158,11 @@ def pt_sample(
             jnp.take(color_table, vidx.astype(jnp.int32), mode="clip")
         )
         hit_n = traverse.hit_normal(nmaj, rd)
-        hit_p = ro + rd * jnp.where(miss, 0.0, t)[:, None]
+        # dead lanes park far outside the root box: their NEE / implicit /
+        # BSDF traversals all retire on iteration 0
+        hit_p = jnp.where(
+            alive[:, None], ro + rd * jnp.where(miss, 0.0, t)[:, None], 1e9
+        )
 
         if hdri_enabled:
             # NEE to the env (voxKernel.cu:697-716)
@@ -176,10 +192,11 @@ def pt_sample(
                 pick[:, None], L + T * le_e / float(1 + n_extra), L
             )
 
-        # BSDF ray (voxKernel.cu:741-759)
+        # BSDF ray (voxKernel.cu:741-759). Dead lanes park at 1e9 so their
+        # traversal retires on iteration 0 instead of re-walking the tree.
         bu = s2d()
         dir_b = sampling.sample_lambertian(bu[0], bu[1], hit_n)
-        ro = jnp.where(alive[:, None], hit_p, ro)
+        ro = jnp.where(alive[:, None], hit_p, 1e9)
         rd = jnp.where(alive[:, None], dir_b, rd)
         t, nmaj_n, vidx_n = intersect(ro, rd, False)
         # only alive lanes advance their hit state
@@ -243,27 +260,9 @@ class PathTracer:
         np2 = 1 << max(n - 1, 1).bit_length()
         pix_packet = max(min(self.packet // max(n_spp, 1), np2), 1024)
         n_pad = -(-n // pix_packet) * pix_packet
-        px_all = np.arange(n_pad, dtype=np.uint32) % self.width
-        py_all = np.minimum(
-            np.arange(n_pad, dtype=np.uint32) // self.width, self.height - 1
-        )
 
         parts = []
         for k in range(n_pad // pix_packet):
-            sl = slice(k * pix_packet, (k + 1) * pix_packet)
-            pix_idx = np.arange(sl.start, sl.stop, dtype=np.uint32)
-            # (spp-major, pixel-minor) striping: r = s * P + p
-            px_r = jnp.asarray(np.tile(px_all[sl], n_spp))
-            py_r = jnp.asarray(np.tile(py_all[sl], n_spp))
-            hash_r = hash_combine(
-                jnp.uint32(0), jnp.asarray(np.tile(pix_idx, n_spp))
-            )  # MurmurHash32(0).combine(pixelIdx)
-            spp_r = jnp.asarray(
-                np.repeat(
-                    self.steps * N_BATCH_SPP + np.arange(n_spp, dtype=np.uint32),
-                    pix_packet,
-                )
-            )
             li = pt_sample(
                 acc_meta,
                 acc_root,
@@ -280,14 +279,15 @@ class PathTracer:
                 jnp.float32(cam.tan_half_fovy),
                 jnp.float32(cam.lens_r),
                 jnp.float32(cam.focus),
-                px_r,
-                py_r,
+                jnp.uint32(k * pix_packet),
+                jnp.uint32(self.steps * N_BATCH_SPP),
                 jnp.float32(1.0 / self.width),
                 jnp.float32(1.0 / self.height),
                 jnp.float32(self.width / self.height),
-                hash_r,
-                spp_r,
                 jnp.float32(self.emission_scale),
+                width=self.width,
+                pix_packet=pix_packet,
+                n_spp=n_spp,
                 accel_kind=kind,
                 stack_depth=depth,
                 has_emission=tree.has_emission,

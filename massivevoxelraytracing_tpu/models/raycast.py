@@ -94,15 +94,83 @@ def tile_order(width: int, height: int, tile_w: int = 128, tile_h: int = 64):
     return order
 
 
+_ORDER_CACHE: dict = {}
+
+
+def _cached_order(width: int, height: int, packet: int):
+    """Device-resident tile permutation, padded to the packet size with -1
+    (padding lanes become rays parked at 1e9, inactive from iteration 0)."""
+    key = (width, height, packet)
+    if key not in _ORDER_CACHE:
+        order = tile_order(width, height)
+        inv = np.argsort(order)
+        n = width * height
+        n_pad = -(-n // packet) * packet
+        order_pad = np.full(n_pad, -1, np.int32)
+        order_pad[:n] = order
+        _ORDER_CACHE[key] = (jnp.asarray(order_pad), jnp.asarray(inv))
+    return _ORDER_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "kind", "depth",
+                                   "show_color"))
+def _render_frame_device(
+    meta, root, lower, upper, color_table, order_pad, inv,
+    cam_o, cam_right, cam_up, cam_front, tan_half_fovy,
+    *, width: int, height: int, kind: str, depth: int, show_color: bool,
+):
+    """Whole frame in one dispatch: device-side ray generation from camera
+    scalars (per-frame H2D = a few floats; host ray upload at 48 MB/frame
+    was costing more than the traversal), traversal, shading, unpermute."""
+    idx = order_pad
+    live = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    px = (safe % width).astype(jnp.float32)
+    py = (safe // width).astype(jnp.float32)
+    th = tan_half_fovy
+    u = (-th + 2.0 * th * (px + 0.5) / width) * (width / height)
+    v = th - 2.0 * th * (py + 0.5) / height
+    rd = u[:, None] * cam_right + v[:, None] * cam_up + cam_front
+    ro = jnp.where(live[:, None], cam_o[None, :], 1e9)
+
+    t, nmaj, vidx = accel_lib.intersect_with(
+        kind, depth, meta, root, lower, upper, ro, rd
+    )
+    hit = t < 1e37
+    if show_color:
+        from ..ops.voxelize import rgb8_to_f32 as _r
+
+        col = _r(jnp.take(color_table, vidx.astype(jnp.int32), mode="clip"))
+    else:
+        from ..ops import traverse
+
+        hn = traverse.hit_normal(nmaj, rd)
+        col = (hn + 1.0) * 0.5
+    rgb = jnp.where(hit[:, None], col, 0.0)
+    img = jnp.clip(rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    n = width * height
+    img = jnp.take(img, inv, axis=0)
+    t_out = jnp.take(t, inv)
+    return (
+        img.reshape(height, width, 3),
+        t_out.reshape(height, width),
+    )
+
+
 def render_frame(tree, cam: camera_ops.Camera,
                  width: int, height: int, show_color: bool = False):
-    """Returns (u8[H, W, 3] image, f32[H, W] depth)."""
-    ro, rd = camera_ops.np_frame_rays(cam, width, height)
-    order = tile_order(width, height)
-    img, t = render_rays(tree, ro[order], rd[order], show_color=show_color)
-    inv = np.empty_like(order)
-    inv[order] = np.arange(len(order))
-    return (
-        np.asarray(img)[inv].reshape(height, width, 3),
-        np.asarray(t)[inv].reshape(height, width),
+    """Returns DEVICE arrays (u8[H, W, 3] image, f32[H, W] depth) -- readback
+    over the tunneled backend runs at ~10 MB/s, so callers np.asarray() only
+    what they actually need."""
+    kind, depth, meta, root = accel_lib.accel_args(tree)
+    color = tree.color if tree.color is not None else jnp.zeros(1, jnp.uint32)
+    n = width * height
+    packet = min(MAX_RAY_PACKET, max(_next_pow2(n), 8192))
+    order_pad, inv = _cached_order(width, height, packet)
+    return _render_frame_device(
+        meta, root, tree.lower, tree.upper, color, order_pad, inv,
+        jnp.asarray(cam.o), jnp.asarray(cam.right), jnp.asarray(cam.up),
+        jnp.asarray(cam.front), jnp.float32(cam.tan_half_fovy),
+        width=width, height=height, kind=kind, depth=depth,
+        show_color=show_color,
     )

@@ -94,43 +94,51 @@ def make_sharded_step(mesh: Mesh, stack_depth: int, spp_per_device: int = 2):
 
 def make_sharded_pt_step(mesh: Mesh, *, stack_depth: int,
                          spp_per_device: int = 2, width: int, height: int,
-                         has_emission: bool, hdri_enabled: bool,
-                         emission_scale: float = 7.5):
+                         n_pixels: int, has_emission: bool,
+                         hdri_enabled: bool, emission_scale: float = 7.5,
+                         accel_kind: str = "octree"):
     """The FULL progressive path-trace step over the ('dp','sp') mesh:
-    pixels shard over 'dp', the spp batch shards over 'sp' (each sp-shard
-    draws different PMJ sample indices) and reduces with a psum over ICI;
-    the SVO/DAG, attributes, HDRI tables, and PMJ table are replicated.
-    This is PathTracer::step (+spp) in its multi-chip form."""
+    pixels shard over 'dp' (each dp-shard generates its pixel lanes on
+    device from its axis index), the spp batch shards over 'sp' (each
+    sp-shard draws different PMJ sample indices) and reduces with a psum
+    over ICI; the SVO/DAG, attributes, HDRI tables, and PMJ table are
+    replicated. This is PathTracer::step (+spp) in its multi-chip form."""
     from ..models.pathtracer import pt_sample
+
+    dp = mesh.devices.shape[0]
+    assert n_pixels % dp == 0
+    shard_pixels = n_pixels // dp
 
     def step(meta, root_entry, lower, upper, color_table, emission_table,
              pmj_table, env, cam_o, cam_right, cam_up, cam_front,
-             tan_half_fovy, lens_r, focus, px, py, pixel_hash, accum,
-             spp_base):
+             tan_half_fovy, lens_r, focus, accum, spp_base):
         def shard_fn(meta, root_entry, lower, upper, color_table,
                      emission_table, pmj_table, env, cam_o, cam_right,
-                     cam_up, cam_front, tan_half_fovy, lens_r, focus, px,
-                     py, pixel_hash, accum, spp_base):
-            r = px.shape[0]
+                     cam_up, cam_front, tan_half_fovy, lens_r, focus,
+                     accum, spp_base):
+            dp_idx = jax.lax.axis_index("dp").astype(jnp.uint32)
             sp_idx = jax.lax.axis_index("sp").astype(jnp.uint32)
-            total = jnp.zeros((r, 3), jnp.float32)
-            for s in range(spp_per_device):
-                spp = spp_base + sp_idx * jnp.uint32(spp_per_device) + jnp.uint32(s)
-                total = total + pt_sample(
-                    meta, root_entry, lower, upper, color_table,
-                    emission_table, pmj_table, env, cam_o, cam_right,
-                    cam_up, cam_front, tan_half_fovy, lens_r, focus, px, py,
-                    jnp.float32(1.0 / width), jnp.float32(1.0 / height),
-                    jnp.float32(width / height), pixel_hash, spp,
-                    jnp.float32(emission_scale),
-                    stack_depth=stack_depth, has_emission=has_emission,
-                    hdri_enabled=hdri_enabled, extra_implicit=True,
-                )
+            pix_start = dp_idx * jnp.uint32(shard_pixels)
+            li = pt_sample(
+                meta, root_entry, lower, upper, color_table,
+                emission_table, pmj_table, env, cam_o, cam_right,
+                cam_up, cam_front, tan_half_fovy, lens_r, focus,
+                pix_start,
+                spp_base + sp_idx * jnp.uint32(spp_per_device),
+                jnp.float32(1.0 / width), jnp.float32(1.0 / height),
+                jnp.float32(width / height),
+                jnp.float32(emission_scale),
+                width=width, pix_packet=shard_pixels, n_spp=spp_per_device,
+                accel_kind=accel_kind,
+                stack_depth=stack_depth, has_emission=has_emission,
+                hdri_enabled=hdri_enabled, extra_implicit=True,
+            )
+            total = li.reshape(spp_per_device, shard_pixels, 3).sum(0)
             total = jax.lax.psum(total, "sp")
             n_sp = jax.lax.psum(1, "sp")
             new_n = jnp.float32(spp_per_device * n_sp)
             return accum + jnp.concatenate(
-                [total, jnp.broadcast_to(new_n, (r, 1))], axis=1
+                [total, jnp.broadcast_to(new_n, (shard_pixels, 1))], axis=1
             )
 
         return jax.shard_map(
@@ -139,14 +147,13 @@ def make_sharded_pt_step(mesh: Mesh, *, stack_depth: int,
             in_specs=(
                 P(), P(), P(), P(), P(), P(), P(), P(),  # scene + tables replicated
                 P(), P(), P(), P(), P(), P(), P(),       # camera scalars
-                P("dp"), P("dp"), P("dp"),               # pixels sharded
                 P("dp"),                                  # accum sharded
                 P(),
             ),
             out_specs=P("dp"),
         )(meta, root_entry, lower, upper, color_table, emission_table,
           pmj_table, env, cam_o, cam_right, cam_up, cam_front,
-          tan_half_fovy, lens_r, focus, px, py, pixel_hash, accum, spp_base)
+          tan_half_fovy, lens_r, focus, accum, spp_base)
 
     return jax.jit(step)
 

@@ -37,10 +37,6 @@ def test_sharded_pt_equals_single_chip():
     dp, sp = m.devices.shape
     width, height = 16, 8 * dp
     n = width * height
-    idx = np.arange(n, dtype=np.uint32)
-    px = jnp.asarray(idx % width)
-    py = jnp.asarray(idx // width)
-    pixel_hash = hash_combine(jnp.uint32(0), jnp.asarray(idx))
 
     kind, depth, meta, root = accel_lib.accel_args(tree)
     common = dict(
@@ -60,29 +56,25 @@ def test_sharded_pt_equals_single_chip():
         jnp.float32(width / height),
     )
 
-    # single-chip: sum over the spp batch sequentially
+    # single-chip: the whole spp batch on one wavefront
     spd = 1
     n_spp = sp * spd
-    single = jnp.zeros((n, 3), jnp.float32)
-    for s in range(n_spp):
-        single = single + pt_sample(
-            *args_head, px, py, *tail, pixel_hash,
-            jnp.uint32(s), jnp.float32(7.5), **common,
-        )
+    single_flat = pt_sample(
+        *args_head, jnp.uint32(0), jnp.uint32(0), *tail,
+        jnp.float32(7.5), width=width, pix_packet=n, n_spp=n_spp, **common,
+    )
+    single = single_flat.reshape(n_spp, n, 3).sum(0)
 
     # sharded: pixels over dp, spp over sp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     s_dp = NamedSharding(m, P("dp"))
-    accum = jnp.zeros((n, 4), jnp.float32)
-    pxs, pys, hs, accs = (
-        jax.device_put(v, s_dp) for v in (px, py, pixel_hash, accum)
-    )
+    accum = jax.device_put(jnp.zeros((n, 4), jnp.float32), s_dp)
     step = prender.make_sharded_pt_step(
         m, stack_depth=depth, spp_per_device=spd, width=width, height=height,
-        has_emission=tree.has_emission, hdri_enabled=True,
+        n_pixels=n, has_emission=tree.has_emission, hdri_enabled=True,
     )
-    out = np.asarray(step(*args_head, pxs, pys, hs, accs, jnp.uint32(0)))
+    out = np.asarray(step(*args_head, accum, jnp.uint32(0)))
 
     assert np.all(out[:, 3] == n_spp)
     np.testing.assert_allclose(out[:, :3], np.asarray(single), rtol=2e-5, atol=2e-5)
