@@ -17,7 +17,6 @@ from ..ops import bricktree as brick_ops
 from ..ops import traverse as traverse_ops
 from ..ops import traverse2 as traverse2_ops
 from ..ops.bricktree import BrickTree
-from ..ops.octree import VoxelOctree
 
 
 def accel_args(tree):

@@ -18,14 +18,11 @@ the u32 tables (upper_bound_f, renderCommon.hpp:182-202).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bits import I32, U32, u32
-from .sampling import luminance
+from .bits import I32, u32
 
 AXES = np.array(
     [

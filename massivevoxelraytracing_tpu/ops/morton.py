@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .bits import U32, u32
+from .bits import u32
 
 
 def _c(x):

@@ -9,13 +9,10 @@ sequences x 4096 2-D points.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bits import scramble_f32, nested_uniform_scramble, u32
+from .bits import scramble_f32, nested_uniform_scramble
 from .hashing import hash_combine
 from .rng import NpPCG32
 

@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .bits import F32, I32, U32, u32
+from .bits import I32, U32, u32
 from .octree import VoxelOctree
 
 MAX_FLOAT = jnp.float32(3.402823466e38)

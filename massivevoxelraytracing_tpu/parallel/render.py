@@ -9,16 +9,13 @@ PathTracer.hpp:150-159)."""
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import traverse, traverse2
+from ..ops import traverse2
 from ..ops.bits import uniformf
 from ..ops.hashing import hash_combine
-from ..ops.octree import VoxelOctree
 from ..ops.voxelize import rgb8_to_f32
 
 
