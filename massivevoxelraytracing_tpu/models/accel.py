@@ -32,7 +32,7 @@ def accel_args(tree):
     )
 
 
-BLOCK_FOR_KIND = {"brick": 32768, "octree": 8192}  # measured sweet spots
+BLOCK_FOR_KIND = {"brick": 16384, "octree": 8192}  # measured sweet spots
 
 
 def intersect_with(kind: str, depth: int, meta, root, lower, upper, ro, rd,

@@ -79,7 +79,7 @@ def render_rays(tree, ro: np.ndarray, rd: np.ndarray,
     return img, t
 
 
-def tile_order(width: int, height: int, tile_w: int = 128, tile_h: int = 64):
+def tile_order(width: int, height: int, tile_w: int = 128, tile_h: int = 128):
     """Pixel permutation putting rectangular tiles contiguous: traversal
     blocks get spatially coherent rays (similar depth complexity), cutting
     the lockstep iteration count (the role the reference's 256-pixel thread
