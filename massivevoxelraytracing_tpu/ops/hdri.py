@@ -39,16 +39,27 @@ class HDRI:
     """Device-side environment state (HDRI struct equivalent). Registered as
     a pytree (arrays = leaves, dims/scale = static) so it can cross jit
     boundaries like the reference passes the whole struct as a kernel arg
-    (PathTracer.hpp:158-167)."""
+    (PathTracer.hpp:158-167).
+
+    Two sampling backends over identical texel distributions:
+      sats        u32 2-D prefix tables + binary search (the reference's
+                  exact scheme, ~22 dependent gathers per sample)
+      alias_*     Walker alias tables (2 gathers per sample) -- the default
+                  on this gather-rate-bound backend; same distribution.
+    """
 
     pixels: jax.Array  # f32 [H, W, 3] secondary (sampling) image
     pixels_primary: jax.Array  # f32 [Hp, Wp, 3] camera-visible image
     sats: jax.Array  # u32 [7, H, W]: [0]=unweighted, [1..6]=axis tables
+    alias_prob: jax.Array  # f32 [7, H*W]: acceptance probability
+    alias_idx: jax.Array  # i32 [7, H*W]: alias target
+    alias_pdf: jax.Array  # f32 [7, H*W]: texel selection probability
     width: int
     height: int
     width_primary: int
     height_primary: int
     scale: float = 1.75  # m_scale (renderCommon.hpp:480)
+    use_alias: bool = True
 
     @property
     def enabled(self) -> bool:
@@ -57,9 +68,35 @@ class HDRI:
 
 jax.tree_util.register_dataclass(
     HDRI,
-    data_fields=["pixels", "pixels_primary", "sats"],
-    meta_fields=["width", "height", "width_primary", "height_primary", "scale"],
+    data_fields=["pixels", "pixels_primary", "sats", "alias_prob",
+                 "alias_idx", "alias_pdf"],
+    meta_fields=["width", "height", "width_primary", "height_primary",
+                 "scale", "use_alias"],
 )
+
+
+def _build_alias(weights: np.ndarray):
+    """Walker alias method (O(n) construction). weights: f64 [N].
+    Returns (prob f32, alias i32, pdf f32)."""
+    n = len(weights)
+    total = weights.sum()
+    if total <= 0:
+        weights = np.ones_like(weights)
+        total = float(n)
+    p = weights / total
+    scaled = p * n
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias.astype(np.int32), p.astype(np.float32)
 
 
 def _solid_angle_weights(width: int, height: int) -> np.ndarray:
@@ -102,7 +139,7 @@ def _build_sat_u32(importance: np.ndarray) -> np.ndarray:
 
 
 def load(pixels: np.ndarray, pixels_primary: np.ndarray | None = None,
-         scale: float = 1.75) -> HDRI:
+         scale: float = 1.75, use_alias: bool = True) -> HDRI:
     """Build the 7 sampling tables from an f32 [H, W, 3] radiance image."""
     pixels = np.asarray(pixels, np.float32)
     h, w = pixels.shape[:2]
@@ -112,11 +149,15 @@ def load(pixels: np.ndarray, pixels_primary: np.ndarray | None = None,
         + 0.0722 * pixels[..., 2]
     ).astype(np.float64)
     sr = _solid_angle_weights(w, h)
-    sats = [_build_sat_u32(lum * sr)]
     dirs = _texel_dirs(w, h)
+    importances = [lum * sr]
     for axis in AXES:
         cosw = np.maximum((dirs * axis[None, None]).sum(-1), 0.0)
-        sats.append(_build_sat_u32(lum * sr * cosw))
+        importances.append(lum * sr * cosw)
+    sats = [_build_sat_u32(imp) for imp in importances]
+    probs, aliases, pdfs = zip(
+        *[_build_alias(imp.reshape(-1)) for imp in importances]
+    )
     if pixels_primary is None:
         pixels_primary = pixels
     pixels_primary = np.asarray(pixels_primary, np.float32)
@@ -124,11 +165,15 @@ def load(pixels: np.ndarray, pixels_primary: np.ndarray | None = None,
         pixels=jnp.asarray(pixels[..., :3]),
         pixels_primary=jnp.asarray(pixels_primary[..., :3]),
         sats=jnp.asarray(np.stack(sats)),
+        alias_prob=jnp.asarray(np.stack(probs)),
+        alias_idx=jnp.asarray(np.stack(aliases)),
+        alias_pdf=jnp.asarray(np.stack(pdfs)),
         width=w,
         height=h,
         width_primary=pixels_primary.shape[1],
         height_primary=pixels_primary.shape[0],
         scale=scale,
+        use_alias=use_alias,
     )
 
 
@@ -199,8 +244,26 @@ def importance_sample(env: HDRI, n, u0, u1, u2, u3, axis_aligned: bool = True):
     within the column, then jitter inside the texel.
     """
     w, h = env.width, env.height
-    sats = env.sats.reshape(7, -1)  # [7, H*W]
     table = select_table(env, n, axis_aligned)
+
+    if env.use_alias:
+        # Walker alias sampling: identical texel distribution, 3 gathers
+        # (vs ~22 dependent binary-search probes -- this backend's gathers
+        # run at scalar-core rate, so NEE cost drops an order of magnitude)
+        nt = w * h
+        j = jnp.clip((u0 * nt).astype(I32), 0, nt - 1)
+        lin = table * nt + j
+        pa = jnp.take(env.alias_prob.reshape(-1), lin, mode="clip")
+        ja = jnp.take(env.alias_idx.reshape(-1), lin, mode="clip")
+        texel = jnp.where(u1 < pa, j, ja)
+        p_sel = jnp.take(
+            env.alias_pdf.reshape(-1), table * nt + texel, mode="clip"
+        )
+        X = texel % w
+        Y = texel // w
+        return _finish_sample(env, X, Y, p_sel, u2, u3)
+
+    sats = env.sats.reshape(7, -1)  # [7, H*W]
     base = table  # row selector into sats
 
     # flat gather: value at [table_i, y_i, x_i]
@@ -239,6 +302,13 @@ def importance_sample(env: HDRI, n, u0, u1, u2, u3, axis_aligned: bool = True):
     d_ = gather(Y, X)
     p_sel = ((d_ - b_) + (a - c_)).astype(jnp.float32) * inv_max
 
+    return _finish_sample(env, X, Y, p_sel, u2, u3)
+
+
+def _finish_sample(env: HDRI, X, Y, p_sel, u2, u3):
+    """Texel -> jittered direction, radiance, solid-angle pdf
+    (renderCommon.hpp:408-434)."""
+    w, h = env.width, env.height
     d_theta = jnp.float32(np.pi / h)
     d_phi = jnp.float32(2.0 * np.pi / w)
     theta = Y.astype(jnp.float32) * d_theta
@@ -251,7 +321,7 @@ def importance_sample(env: HDRI, n, u0, u1, u2, u3, axis_aligned: bool = True):
     s_z = jnp.sin(phi)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - s_y * s_y, 0.0))
     direction = jnp.stack([s_x * sin_theta, s_y, s_z * sin_theta], axis=-1)
-    sr_pdf = p_sel / sr
+    sr_pdf = jnp.maximum(p_sel, 1e-20) / sr
 
     flat_img = env.pixels.reshape(-1, 3)
     L = jnp.take(flat_img, Y * w + X, axis=0, mode="clip") * jnp.float32(env.scale)

@@ -70,9 +70,12 @@ def test_lambertian_cosine_distribution():
     assert abs(d[:, 2].mean() - 2.0 / 3.0) < 3e-3
 
 
-def test_hdri_importance_sampling_unbiased():
+@pytest.mark.parametrize("use_alias", [True, False])
+def test_hdri_importance_sampling_unbiased(use_alias):
+    # both sampling backends (Walker alias and the reference's SAT binary
+    # search) must estimate the env integral without bias
     img = hdr.procedural_sky(128, 64, sun_intensity=150.0)
-    env = hdri.load(img, scale=1.0)
+    env = hdri.load(img, scale=1.0, use_alias=use_alias)
     # direct integral: sum(L * sr) per texel
     sr = hdri._solid_angle_weights(128, 64)
     direct = (img.astype(np.float64) * sr[..., None]).sum((0, 1))
@@ -90,6 +93,17 @@ def test_hdri_importance_sampling_unbiased():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(d), axis=1), 1, atol=1e-4
     )
+
+
+def test_alias_tables_match_distribution():
+    rng = np.random.default_rng(9)
+    w = rng.random(1000) ** 4  # peaky
+    prob, alias, pdf = hdri._build_alias(w)
+    np.testing.assert_allclose(pdf, w / w.sum(), rtol=1e-6)
+    # exact expected mass per bin from the alias construction
+    mass = prob.astype(np.float64).copy()
+    np.add.at(mass, alias, 1.0 - prob.astype(np.float64))
+    np.testing.assert_allclose(mass / len(w), w / w.sum(), atol=1e-6)
 
 
 def test_hdri_axis_weighted_tables_prefer_hemisphere():
