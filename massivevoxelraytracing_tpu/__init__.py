@@ -11,7 +11,7 @@ vectorized lock-step state machine over ray packets.
 
 Layer map (mirrors SURVEY.md section 1 of the reference):
   ops/       L0-L1: math, morton, hashing, rng, voxelizer, octree build,
-             traversal, sampling, HDRI (pure JAX + Pallas kernels)
+             traversal, sampling, HDRI (pure JAX)
   models/    L2/L4: CPU oracles (numpy), raycast engine, PathTracer facade
   parallel/  multi-chip sharding (mesh/pjit/shard_map) replacing run.py
   utils/     host runtime: mesh IO, PNG/HDR IO, procedural scenes, timing

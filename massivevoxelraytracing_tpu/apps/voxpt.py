@@ -75,6 +75,8 @@ def main(argv=None):
     pt = PathTracer(
         width=args.width, height=args.height,
         emission_scale=cfg.emission_scale, packet=cfg.ray_packet,
+        max_bounces=cfg.max_bounces, n_batch_spp=cfg.n_batch_spp,
+        use_pmj=cfg.use_pmj,
     )
     pt.setup()
     if args.hdri == "procedural":

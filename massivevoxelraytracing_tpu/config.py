@@ -34,9 +34,9 @@ class EngineConfig:
     hdri_scale: float = 1.75             # renderCommon.hpp:480
 
     # execution shape (the TPU analog of block-size macros,
-    # IntersectorOctreeGPU.hpp:13-19)
+    # IntersectorOctreeGPU.hpp:13-19). Traversal dispatch blocks are
+    # per-structure tuned constants (models/accel.py:BLOCK_FOR_KIND).
     ray_packet: int = 65536
-    traverse_block: int = 8192
 
     # camera
     fovy_deg: float = 40.0

@@ -32,6 +32,7 @@ import numpy as np
 
 from ..ops import camera as camera_ops
 from ..ops import hdri as hdri_ops
+from ..ops import rng as rng_ops
 from ..ops import sampling, traverse
 from . import accel as accel_lib
 from ..ops.bits import U32, u32
@@ -48,12 +49,17 @@ def _sample2d(table, spp, dim, stream):
     return sampling.pmj_sample2d(table, spp, u32(dim), stream)
 
 
+def _ckpt_path(path: str) -> str:
+    """np.savez silently appends .npz; normalize so save/load agree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "width", "pix_packet", "n_spp",
         "accel_kind", "stack_depth", "has_emission", "hdri_enabled",
-        "extra_implicit",
+        "extra_implicit", "max_bounces", "use_pmj",
     ),
 )
 def pt_sample(
@@ -87,6 +93,8 @@ def pt_sample(
     has_emission: bool,
     hdri_enabled: bool,
     extra_implicit: bool,
+    max_bounces: int = MAX_BOUNCES,
+    use_pmj: bool = True,
 ):
     """Path-traced samples for (pixel, spp) lanes generated ON DEVICE from
     two scalars (pix_start, spp_base): lane r = s * pix_packet + p covers
@@ -109,10 +117,24 @@ def pt_sample(
 
     dim_counter = [0]
 
-    def s2d():
-        d = dim_counter[0]
-        dim_counter[0] += 1
-        return _sample2d(pmj_table, spp, d, stream)
+    if use_pmj:
+        def s2d():
+            d = dim_counter[0]
+            dim_counter[0] += 1
+            return _sample2d(pmj_table, spp, d, stream)
+    else:
+        # USE_PMJ=0 fallback: a per-(pixel, spp) PCG32 stream
+        # (renderCommon.hpp:86-117, voxKernel.cu:656-659)
+        from ..ops.bits import uniformf
+
+        pcg_state = [rng_ops.pcg32_init(hash_combine(stream, spp), stream)]
+
+        def s2d():
+            state, inc = pcg_state[0]
+            state, a = rng_ops.pcg32_next(state, inc)
+            state, b = rng_ops.pcg32_next(state, inc)
+            pcg_state[0] = (state, inc)
+            return uniformf(a), uniformf(b)
 
     def intersect(ro, rd, shadow):
         return accel_lib.intersect_with(
@@ -151,8 +173,8 @@ def pt_sample(
 
     n_extra = 1 if (extra_implicit and has_emission) else 0
 
-    # --- bounce loop (static unroll of 8; all ops masked by `alive`)
-    for depth in range(MAX_BOUNCES):
+    # --- bounce loop (static unroll; all ops masked by `alive`)
+    for depth in range(max_bounces):
         alive = ~miss
         refl = rgb8_to_f32(
             jnp.take(color_table, vidx.astype(jnp.int32), mode="clip")
@@ -226,8 +248,12 @@ class PathTracer:
     pmj_table: jax.Array | None = None
     accum: jax.Array | None = None  # f32 [W*H, 4]
     steps: int = 0
+    spp_done: int = 0  # cumulative samples accumulated (PMJ sample base)
     emission_scale: float = 7.5  # m_emissionScale (IntersectorOctreeGPU.hpp:273)
     packet: int = RAY_PACKET
+    max_bounces: int = MAX_BOUNCES
+    n_batch_spp: int = N_BATCH_SPP
+    use_pmj: bool = True
 
     def setup(self):
         if self.pmj_table is None:
@@ -243,9 +269,12 @@ class PathTracer:
     def clear_frame_buffer(self):
         self.accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
         self.steps = 0
+        self.spp_done = 0
 
-    def step(self, cam: camera_ops.Camera, n_spp: int = N_BATCH_SPP):
+    def step(self, cam: camera_ops.Camera, n_spp: int | None = None):
         """One progressive step: +n_spp samples per pixel."""
+        if n_spp is None:
+            n_spp = self.n_batch_spp
         assert self.tree is not None and self.pmj_table is not None
         tree = self.tree
         env = self.env
@@ -280,7 +309,7 @@ class PathTracer:
                 jnp.float32(cam.lens_r),
                 jnp.float32(cam.focus),
                 jnp.uint32(k * pix_packet),
-                jnp.uint32(self.steps * N_BATCH_SPP),
+                jnp.uint32(self.spp_done),
                 jnp.float32(1.0 / self.width),
                 jnp.float32(1.0 / self.height),
                 jnp.float32(self.width / self.height),
@@ -293,6 +322,8 @@ class PathTracer:
                 has_emission=tree.has_emission,
                 hdri_enabled=self.env is not None and env.scale > 0,
                 extra_implicit=True,
+                max_bounces=self.max_bounces,
+                use_pmj=self.use_pmj,
             )
             parts.append(li.reshape(n_spp, pix_packet, 3).sum(0))
         radiance = jnp.concatenate(parts)[:n]
@@ -300,15 +331,17 @@ class PathTracer:
             [radiance, jnp.full((n, 1), float(n_spp), jnp.float32)], axis=1
         )
         self.steps += 1
+        self.spp_done += n_spp
 
     def save_checkpoint(self, path: str, frame: int = 0):
         """Serialize progressive state (accum buffer, spp steps, frame) --
         the minimal restart point the reference lacks (SURVEY.md section 5:
         'serialize (accum buffer, spp, frame index) -- trivial')."""
         np.savez(
-            path,
+            _ckpt_path(path),
             accum=np.asarray(self.accum),
             steps=np.int64(self.steps),
+            spp_done=np.int64(self.spp_done),
             frame=np.int64(frame),
             width=np.int64(self.width),
             height=np.int64(self.height),
@@ -316,12 +349,15 @@ class PathTracer:
 
     def load_checkpoint(self, path: str) -> int:
         """Restore progressive state; returns the stored frame index."""
-        z = np.load(path)
+        z = np.load(_ckpt_path(path))
         assert int(z["width"]) == self.width and int(z["height"]) == self.height, (
             "checkpoint resolution mismatch"
         )
         self.accum = jnp.asarray(z["accum"])
         self.steps = int(z["steps"])
+        self.spp_done = (
+            int(z["spp_done"]) if "spp_done" in z else self.steps * N_BATCH_SPP
+        )
         return int(z["frame"])
 
     def resolve(self) -> np.ndarray:

@@ -13,80 +13,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import traverse2
-from ..ops.bits import uniformf
-from ..ops.hashing import hash_combine
-from ..ops.voxelize import rgb8_to_f32
-
-
-def _jittered_raycast_radiance(
-    meta, root_entry, lower, upper, color_table,
-    ro, rd_base, right, up, pix_scale, seeds, stack_depth: int,
-):
-    """One jittered primary sample per ray: anti-aliased voxel-color radiance
-    (the progressive-accumulation mode of voxRTGPU). Used by the sharded
-    step until the full PT integrator rides here."""
-    u0 = uniformf(hash_combine(seeds, jnp.uint32(0x9E3779B9)))
-    u1 = uniformf(hash_combine(seeds, jnp.uint32(0x85EBCA6B)))
-    rd = (
-        rd_base
-        + (u0 - 0.5)[:, None] * pix_scale * right[None, :]
-        + (u1 - 0.5)[:, None] * pix_scale * up[None, :]
-    )
-    t, nmaj, vidx = traverse2.intersect_rays2(
-        meta, root_entry, lower, upper, ro, rd,
-        stack_depth=stack_depth,
-    )
-    hit = t < 1e37
-    col = rgb8_to_f32(jnp.take(color_table, vidx.astype(jnp.int32), mode="clip"))
-    return jnp.where(hit[:, None], col, 0.0)
-
-
-def make_sharded_step(mesh: Mesh, stack_depth: int, spp_per_device: int = 2):
-    """Returns a jitted step: (tree arrays, rays, accum) -> accum + psum'd
-    radiance over the 'sp' axis. accum layout: f32[R, 4] (rgb, n)."""
-
-    def step(meta, root_entry, lower, upper, color_table,
-             ro, rd, right, up, pix_scale, accum, spp_base):
-        def shard_fn(meta, root_entry, lower, upper,
-                     color_table, ro, rd, right, up, pix_scale, accum,
-                     spp_base):
-            r = ro.shape[0]
-            sp_idx = jax.lax.axis_index("sp").astype(jnp.uint32)
-            ray_ids = jnp.arange(r, dtype=jnp.uint32)
-            total = jnp.zeros((r, 3), jnp.float32)
-            for s in range(spp_per_device):
-                seeds = hash_combine(
-                    ray_ids,
-                    spp_base + sp_idx * jnp.uint32(spp_per_device) + jnp.uint32(s),
-                )
-                total = total + _jittered_raycast_radiance(
-                    meta, root_entry, lower, upper,
-                    color_table, ro, rd, right, up, pix_scale, seeds,
-                    stack_depth,
-                )
-            total = jax.lax.psum(total, "sp")
-            n_sp = jax.lax.psum(1, "sp")
-            new_n = jnp.float32(spp_per_device * n_sp)
-            return accum + jnp.concatenate(
-                [total, jnp.broadcast_to(new_n, (r, 1))], axis=1
-            )
-
-        return jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(
-                P(), P(), P(), P(), P(),  # tree replicated
-                P("dp"), P("dp"),  # rays sharded over pixels
-                P(), P(), P(),
-                P("dp"),  # accum sharded over pixels
-                P(),
-            ),
-            out_specs=P("dp"),
-        )(meta, root_entry, lower, upper, color_table,
-          ro, rd, right, up, pix_scale, accum, spp_base)
-
-    return jax.jit(step)
 
 
 def make_sharded_pt_step(mesh: Mesh, *, stack_depth: int,

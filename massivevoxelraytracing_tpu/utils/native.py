@@ -43,7 +43,15 @@ def get_lib():
         lib.mvrt_obj_parse.restype = ctypes.c_int64
         lib.mvrt_murmur3_32.restype = ctypes.c_uint32
         _lib = lib
-    except Exception:
+    except Exception as e:
+        import sys
+
+        msg = e
+        if isinstance(e, subprocess.CalledProcessError):
+            msg = (e.stderr or b"").decode(errors="replace")[-400:]
+        sys.stderr.write(
+            f"[native] libmvrt build/load failed, using python fallbacks: {msg}\n"
+        )
         _lib = None
     return _lib
 
