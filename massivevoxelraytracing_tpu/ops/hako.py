@@ -1,0 +1,308 @@
+"""HakoTree: fat-leaf sparse voxel tree, the TPU round-2 performance
+structure.
+
+Measured constraints of this backend (scripts/gather_probe*.py):
+  * random HBM row-gathers issue at ~60-125 M rows/s regardless of row
+    WIDTH (16 B and 656 B rows cost the same), so the traversal budget is
+    set by gathers-per-ray, not bytes;
+  * Mosaic has no cross-sublane dynamic gather, but one-hot matmuls on the
+    MXU are nearly free for tables of a few thousand rows.
+
+Hence the structure: the bottom of the tree is a single level of FAT
+BRICKS -- 16^3 voxels = a 4096-bit occupancy mask per brick, 164 u32 words
+per row -- fetched with ONE wide HBM row-gather per brick visit (a ray
+typically visits 2-3 bricks). Everything above the bricks is a 4^3-branching
+top tree small enough to live in VMEM and be walked inside a Pallas kernel
+with one-hot MXU gathers (ops/hako_kernels.py).
+
+Brick row layout (u32 x 164):
+  cols   0..127  voxel occupancy words; bit b of word w = voxel with
+                 12-bit in-brick Morton index 32*w + b
+  cols 128..129  coarse mask (lo, hi): bit s = sub-brick s (= words
+                 2s, 2s+1, a 4^3 voxel block) is non-empty
+  col  130       base: rank of the brick's first voxel in the global
+                 Morton-sorted unique-voxel array (attribute indexing, the
+                 role of nVoxelsPSum in the reference, voxCommon.hpp:29-36)
+  col  131       brick Morton code (debug / mesh export)
+  cols 132..163  per-sub-brick exclusive voxel-count prefix, packed u16x2:
+                 col 132+t = prefix[2t] | prefix[2t+1] << 16
+
+Top tree node = (mask u64 over 4^3 children, base), children contiguous in
+the child level's Morton order so child index = base + popcount(mask below
+cell) -- same rank trick as ops/bricktree.py. Node tables are stored
+byte-split as f32 for exact one-hot bf16 MXU gathers: 11 segments of 128
+lanes (4 mask_lo bytes, 4 mask_hi bytes, 3 base bytes), node n of segment k
+at [n >> 7, 128 * k + (n & 127)].
+
+Capacity: every per-level node count and the brick count must stay below
+2^24 (f32-exact one-hot range) -- the same 16.7M cap the reference's
+embedded-mask pointers impose (voxCommon.hpp:7-9). 2^24 bricks = 68G voxels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bits import I32, U32, popcount32, u32
+
+INVALID = 0xFFFFFFFF
+BRICK_WORDS = 164
+N_TAB_SEG = 11  # table segments: 4 + 4 + 3 bytes
+
+
+def _c(x):
+    return jnp.uint32(x)
+
+
+def top_levels_for(grid_res: int) -> int:
+    """T such that res4h = 16 * 4^T >= grid_res (T >= 1)."""
+    t = 1
+    while 16 * (4 ** t) < grid_res:
+        t += 1
+    return t
+
+
+def pad_res(grid_res: int) -> int:
+    return 16 * 4 ** top_levels_for(grid_res)
+
+
+@dataclasses.dataclass
+class HakoTree:
+    bricks: jax.Array          # u32 [NB_pad, 164]
+    n_bricks: int
+    levels: tuple              # f32 [rows_l, 11*128] tables for levels 1..T-1
+    n_per_level: tuple         # node counts for levels 1..T-1
+    root_mask_lo: int          # root node (level T): u64 mask as 2 ints
+    root_mask_hi: int
+    T: int                     # top levels above bricks
+    res: int                   # padded: 16 * 4^T
+    grid_res: int              # caller resolution
+    lower: jax.Array           # f32 [3]
+    upper: jax.Array           # f32 [3] = lower + dps * res
+    dps: float
+    color: jax.Array | None = None
+    emission: jax.Array | None = None
+    n_voxels: int = 0
+    has_emission: bool = False
+    build_stats: dict | None = None
+
+    def memory_bytes(self) -> int:
+        b = self.bricks.shape[0] * BRICK_WORDS * 4
+        for lv in self.levels:
+            b += lv.size * 4
+        return b
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_bricks + sum(self.n_per_level)
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def _level_counts(bm, valid, *, n_levels: int):
+    """Distinct counts of bm >> 6l for l = 0..n_levels (l=0: brick count)."""
+    counts = []
+    for l in range(n_levels + 1):
+        p = bm >> _c(6 * l)
+        ne = jnp.concatenate([jnp.ones((1,), bool), p[1:] != p[:-1]])
+        counts.append(jnp.sum((ne & valid).astype(I32)))
+    return jnp.stack(counts)
+
+
+@partial(jax.jit, static_argnames=("nb_pad",))
+def _build_bricks(m_hi, m_lo, n_voxels, *, nb_pad: int):
+    """Sorted unique voxel Mortons -> brick rows + compacted brick Mortons."""
+    p0 = m_hi.shape[0]
+    idx = jnp.arange(p0, dtype=I32)
+    valid = idx < n_voxels
+
+    bm = jnp.where(valid, (m_hi << 20) | (m_lo >> 12), _c(INVALID))
+    ne = jnp.concatenate([jnp.ones((1,), bool), bm[1:] != bm[:-1]])
+    boundary = valid & ne
+    gid = jnp.cumsum(boundary.astype(I32)) - 1
+    gid = jnp.where(valid, gid, nb_pad)  # park invalid out of range
+
+    # voxel occupancy words
+    m12 = (m_lo & _c(4095)).astype(I32)
+    w = m12 >> 5
+    bit = _c(1) << u32(m12 & 31)
+    flat = jnp.zeros((nb_pad * 128,), U32)
+    flat = flat.at[jnp.where(valid, gid * 128 + w, nb_pad * 128)].add(
+        bit, mode="drop"
+    )
+    words = flat.reshape(nb_pad, 128)
+
+    # coarse mask: sub-brick s <-> words 2s, 2s+1
+    occ = (words.reshape(nb_pad, 64, 2) != 0).any(axis=2)
+    pw = _c(1) << u32(jnp.arange(32))
+    coarse_lo = jnp.sum(jnp.where(occ[:, :32], pw[None, :], _c(0)), axis=1)
+    coarse_hi = jnp.sum(jnp.where(occ[:, 32:], pw[None, :], _c(0)), axis=1)
+
+    # base = rank of first voxel; brick morton of each group
+    gstart = jax.ops.segment_min(idx, gid, num_segments=nb_pad + 1)[:nb_pad]
+    gstart = jnp.minimum(gstart, p0 - 1)
+    n_b = jnp.sum(boundary.astype(I32))
+    gv = jnp.arange(nb_pad, dtype=I32) < n_b
+    base = jnp.where(gv, gstart.astype(U32), _c(0))
+    g_bm = jnp.where(gv, jnp.take(bm, gstart), _c(INVALID))
+
+    # per-sub-brick exclusive prefix of voxel counts, packed u16 pairs
+    pc = (
+        popcount32(words.reshape(nb_pad, 64, 2)[:, :, 0])
+        + popcount32(words.reshape(nb_pad, 64, 2)[:, :, 1])
+    )
+    prefix = jnp.cumsum(pc, axis=1) - pc  # exclusive, [NB, 64]
+    pr = prefix.astype(U32).reshape(nb_pad, 32, 2)
+    packed = pr[:, :, 0] | (pr[:, :, 1] << 16)
+
+    rows = jnp.concatenate(
+        [
+            words,
+            coarse_lo[:, None],
+            coarse_hi[:, None],
+            base[:, None],
+            jnp.where(gv, g_bm, _c(0))[:, None],
+            packed,
+        ],
+        axis=1,
+    )
+    return rows, g_bm, n_b
+
+
+@partial(jax.jit, static_argnames=("p_out",))
+def _build_top_level(t_m, n_in, *, p_out: int):
+    """Group child Mortons (sorted, INVALID-padded) into 4^3 parents."""
+    p_in = t_m.shape[0]
+    idx = jnp.arange(p_in, dtype=I32)
+    valid = idx < n_in
+
+    p = t_m >> 6
+    cell = (t_m & _c(63)).astype(I32)
+    ne = jnp.concatenate([jnp.ones((1,), bool), p[1:] != p[:-1]])
+    boundary = valid & ne
+    gid = jnp.cumsum(boundary.astype(I32)) - 1
+    gid = jnp.where(valid, gid, p_out)
+
+    bit_lo = jnp.where(cell < 32, _c(1) << u32(jnp.minimum(cell, 31)), _c(0))
+    bit_hi = jnp.where(cell >= 32, _c(1) << u32(jnp.maximum(cell - 32, 0)), _c(0))
+    mask_lo = jnp.zeros((p_out + 1,), U32).at[gid].add(bit_lo)[:p_out]
+    mask_hi = jnp.zeros((p_out + 1,), U32).at[gid].add(bit_hi)[:p_out]
+
+    gstart = jax.ops.segment_min(idx, gid, num_segments=p_out + 1)[:p_out]
+    gstart = jnp.minimum(gstart, p_in - 1)
+    n_groups = jnp.sum(boundary.astype(I32))
+    gv = jnp.arange(p_out, dtype=I32) < n_groups
+    return dict(
+        mask_lo=jnp.where(gv, mask_lo, _c(0)),
+        mask_hi=jnp.where(gv, mask_hi, _c(0)),
+        base=jnp.where(gv, gstart.astype(U32), _c(0)),
+        t_m=jnp.where(gv, jnp.take(p, gstart), _c(INVALID)),
+        n_groups=n_groups,
+    )
+
+
+def _byte_split_table(mask_lo, mask_hi, base) -> np.ndarray:
+    """Host: (u32, u32, u32)[n] -> f32 [rows, 11*128] byte-split table."""
+    n = len(mask_lo)
+    rows = max((n + 127) // 128, 1)
+    tab = np.zeros((rows, N_TAB_SEG * 128), np.float32)
+    r = np.arange(n) >> 7
+    j = np.arange(n) & 127
+    segs = [
+        mask_lo & 255, (mask_lo >> 8) & 255, (mask_lo >> 16) & 255,
+        (mask_lo >> 24) & 255,
+        mask_hi & 255, (mask_hi >> 8) & 255, (mask_hi >> 16) & 255,
+        (mask_hi >> 24) & 255,
+        base & 255, (base >> 8) & 255, (base >> 16) & 255,
+    ]
+    for k, s in enumerate(segs):
+        tab[r, k * 128 + j] = s.astype(np.float32)
+    return tab
+
+
+def build_hako(
+    m_hi, m_lo, n_voxels: int, grid_res: int, *,
+    lower=None, dps: float = 1.0, color=None, emission=None,
+    has_emission: bool = False,
+) -> HakoTree:
+    """Build from sorted unique Morton pairs (padded arrays, n_voxels valid)."""
+    from .octree import bucket
+
+    T = top_levels_for(grid_res)
+    res4h = 16 * 4 ** T
+
+    p0 = m_hi.shape[0]
+    valid = jnp.arange(p0, dtype=I32) < n_voxels
+    bm_all = jnp.where(valid, (m_hi << 20) | (m_lo >> 12), _c(INVALID))
+    counts = np.asarray(_level_counts(bm_all, valid, n_levels=T))
+    nb = int(counts[0])
+    assert counts[T] == 1, f"root must be single, got {counts[T]}"
+    assert nb < (1 << 24), f"brick count {nb} exceeds 2^24 one-hot capacity"
+
+    nb_pad = bucket(nb)
+    rows, g_bm, _ = _build_bricks(m_hi, m_lo, jnp.int32(n_voxels), nb_pad=nb_pad)
+
+    # top levels 1..T-1 as kernel tables; level T = root scalars
+    levels = []
+    n_per_level = []
+    t_m, n_in = g_bm, nb
+    lv = None
+    for l in range(1, T + 1):
+        p_out = bucket(int(counts[l]))
+        lv = _build_top_level(t_m, jnp.int32(n_in), p_out=p_out)
+        if l < T:
+            n_l = int(counts[l])
+            assert n_l < (1 << 24)
+            ml = np.asarray(lv["mask_lo"])[:n_l]
+            mh = np.asarray(lv["mask_hi"])[:n_l]
+            bs = np.asarray(lv["base"])[:n_l]
+            levels.append(jnp.asarray(_byte_split_table(ml, mh, bs)))
+            n_per_level.append(n_l)
+        t_m, n_in = lv["t_m"], int(counts[l])
+
+    root_mask_lo = int(np.asarray(lv["mask_lo"])[0])
+    root_mask_hi = int(np.asarray(lv["mask_hi"])[0])
+    assert int(np.asarray(lv["base"])[0]) == 0
+
+    if lower is None:
+        lower = np.zeros(3, np.float32)
+    lower = jnp.asarray(lower, jnp.float32)
+    return HakoTree(
+        bricks=rows,
+        n_bricks=nb,
+        levels=tuple(levels),
+        n_per_level=tuple(n_per_level),
+        root_mask_lo=root_mask_lo,
+        root_mask_hi=root_mask_hi,
+        T=T,
+        res=res4h,
+        grid_res=grid_res,
+        lower=lower,
+        upper=lower + jnp.float32(dps) * res4h,
+        dps=float(dps),
+        color=color,
+        emission=emission,
+        n_voxels=int(n_voxels),
+        has_emission=bool(has_emission),
+    )
+
+
+def voxels_from_tree(tree: HakoTree) -> np.ndarray:
+    """Host: reconstruct sorted voxel Morton codes (u64) from brick rows --
+    the build round-trip oracle."""
+    rows = np.asarray(tree.bricks[: max(tree.n_bricks, 1)])
+    out = []
+    for b in range(tree.n_bricks):
+        bm = int(rows[b, 131])
+        words = rows[b, :128]
+        for w in range(128):
+            v = int(words[w])
+            while v:
+                bit = (v & -v).bit_length() - 1
+                out.append((bm << 12) | (w << 5) | bit)
+                v &= v - 1
+    return np.asarray(sorted(out), np.uint64)
