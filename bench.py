@@ -58,12 +58,16 @@ def main():
         fovy_deg=40.0,
     )
 
-    img, depth = raycast.render_frame(tree, cam, width, height)  # compile+warm
-    jax.block_until_ready(depth)
+    def frame_sum():
+        # scalar readback forces real completion: block_until_ready on array
+        # outputs does NOT reliably drain the tunneled backend's queue
+        img, depth = raycast.render_frame(tree, cam, width, height)
+        return float(jnp.sum(jnp.where(depth < 1e37, depth, 0.0))), depth
+
+    _, depth = frame_sum()  # compile+warm
     t0 = time.time()
     for _ in range(iters):
-        img, depth = raycast.render_frame(tree, cam, width, height)
-        jax.block_until_ready(depth)  # sync without the ~10 MB/s readback
+        _, depth = frame_sum()
     dt = (time.time() - t0) / iters
 
     mrays = width * height / dt / 1e6

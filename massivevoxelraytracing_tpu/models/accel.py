@@ -14,13 +14,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import bricktree as brick_ops
+from ..ops import hako_kernels
 from ..ops import traverse as traverse_ops
 from ..ops import traverse2 as traverse2_ops
 from ..ops.bricktree import BrickTree
+from ..ops.hako import HakoTree
 
 
 def accel_args(tree):
-    """(static_kind, static_depth, meta, root) for the jitted render paths."""
+    """(static_kind, static_depth, meta, root) for the jitted render paths.
+
+    For the hako structure, `meta` is a pytree (bricks, tabs, scal_i) and
+    `depth` the static (T, level_rows) pair."""
+    if isinstance(tree, HakoTree):
+        meta, static = hako_kernels.hako_args(tree)
+        return "hako", static, meta, jnp.uint32(0)
     if isinstance(tree, BrickTree):
         return "brick", tree.n_levels, tree.meta, jnp.uint32(tree.root)
     depth = max(int(tree.grid_res).bit_length() - 1, 1)
@@ -35,9 +43,16 @@ def accel_args(tree):
 BLOCK_FOR_KIND = {"brick": 16384, "octree": 8192}  # measured sweet spots
 
 
-def intersect_with(kind: str, depth: int, meta, root, lower, upper, ro, rd,
+def intersect_with(kind: str, depth, meta, root, lower, upper, ro, rd,
                    *, shadow: bool = False, block: int | None = None):
     """Dispatch inside jitted code (kind/depth are static)."""
+    if kind == "hako":
+        T, level_rows = depth
+        bricks, tabs, scal_i = meta
+        return hako_kernels.intersect_rays_hako(
+            bricks, tabs, scal_i, lower, upper, ro, rd,
+            T=T, level_rows=level_rows, shadow=shadow,
+        )
     if block is None:
         block = BLOCK_FOR_KIND[kind]
     if kind == "brick":

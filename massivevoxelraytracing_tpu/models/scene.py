@@ -133,7 +133,21 @@ def build_scene(
         n_unique=n_unique,
         grid_res=grid_res,
     )
-    if accel == "brick":
+    if accel == "hako":
+        from ..ops import hako as hako_ops
+
+        tree = hako_ops.build_hako(
+            uniq["m_hi"][:pad],
+            uniq["m_lo"][:pad],
+            n_unique,
+            grid_res,
+            lower=np.asarray(lower),
+            dps=float(dps),
+            color=uniq["color"][:pad],
+            emission=uniq["emission"][:pad],
+            has_emission=bool(uniq["has_emission"]),
+        )
+    elif accel == "brick":
         tree = brick_ops.build_bricktree(
             uniq["m_hi"][:pad],
             uniq["m_lo"][:pad],

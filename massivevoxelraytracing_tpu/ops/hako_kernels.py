@@ -1,0 +1,670 @@
+"""Pallas/Mosaic traversal kernels for the HakoTree (ops/hako.py).
+
+Replaces the reference's stack-walk hot loop
+(octreeTraverse_EfficientParametric, /root/reference/voxCommon.hpp:231-423)
+with a TPU-shaped two-kernel pipeline:
+
+  kernel A ("probe"): restart descent from the root through the VMEM top
+    tree -- per probe, T unrolled levels of {one-hot MXU node gather,
+    in-order 64-cell scan} -- emitting the next fat brick the ray enters
+    (or advancing past a dead subtree, or declaring the ray exhausted).
+    Node gathers are one-hot f32 matmuls over byte-split tables (bf16-exact
+    since every operand is <= 255), 16 ray-chunks of 128 per block.
+
+  XLA row-gather: ONE wide HBM gather per emitted brick (the only HBM
+    random access in the whole traversal; measured 57-125 M rows/s
+    regardless of width, scripts/gather_probe3.py).
+
+  kernel B ("DDA"): hierarchical in-order scan inside the 16^3 brick --
+    coarse 4^3 sub-brick scan, per-lane word-pair fetch by binary select
+    tree (Mosaic has no cross-sublane gather), then the 4^3 voxel scan;
+    voxel rank = brick base + sub-brick prefix + popcount (the reference's
+    nVoxelsPSum indexing, voxCommon.hpp:390, as pure bit math).
+
+An XLA while_loop alternates A / gather / B until every ray hits or
+exhausts. Mirroring (negative ray directions) uses the same XOR trick as
+the reference (voxCommon.hpp:242-260) at every 6-bit Morton level.
+
+All primitives used here were validated on-chip first (scripts/*probe*.py):
+no reshapes across the lane boundary, no take_along_axis, no cross-sublane
+dynamic indexing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bits import I32, U32
+from .bricktree import _CX, _CY, _CZ
+
+MAX_FLOAT = 3.402823466e38  # python float: jnp scalars get captured as consts in kernels
+from .hako import BRICK_WORDS, N_TAB_SEG, HakoTree
+
+S_BLK = 16                 # sublane rows per ray block
+RB = S_BLK * 128           # 2048 rays per grid step
+_MASK16 = 0xFFFF
+
+
+def _u(x):
+    return x.astype(U32)
+
+
+def _pc32(x):
+    """popcount of u32 [S,128] (SWAR)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(I32)
+
+
+def _bit_at(mask_lo, mask_hi, cell):
+    c = cell.astype(I32)
+    lo = (mask_lo >> _u(jnp.clip(c, 0, 31))) & jnp.uint32(1)
+    hi = (mask_hi >> _u(jnp.clip(c - 32, 0, 31))) & jnp.uint32(1)
+    return jnp.where(c < 32, lo, hi) == 1
+
+
+def _pc64_below(mask_lo, mask_hi, cell):
+    c = cell.astype(I32)
+    below_lo = jnp.where(
+        c >= 32, jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << _u(jnp.clip(c, 0, 31))) - 1,
+    )
+    below_hi = jnp.where(
+        c >= 32, (jnp.uint32(1) << _u(jnp.clip(c - 32, 0, 31))) - 1, jnp.uint32(0)
+    )
+    return _pc32(mask_lo & below_lo) + _pc32(mask_hi & below_hi)
+
+
+def _stable(args, on: bool):
+    """interpret-mode only: pin values so XLA fusion cannot rematerialize
+    them per-consumer with different FMA contraction (which makes cell picks
+    internally inconsistent at boundary ulps). Mosaic compiles each op once,
+    so on-TPU kernels skip the barrier (it has no Mosaic lowering)."""
+    return jax.lax.optimization_barrier(args) if on else args
+
+
+def _sel4(tb, k):
+    """tb: list of >= 4 arrays; pick tb[k] for per-lane k in [0, 4)."""
+    return jnp.where(
+        k == 0, tb[0], jnp.where(k == 1, tb[1], jnp.where(k == 2, tb[2], tb[3]))
+    )
+
+
+def _min3(a, b, c):
+    return jnp.minimum(a, jnp.minimum(b, c))
+
+
+def _coords(c):
+    cx = (c & 1) | (((c >> 3) & 1) << 1)
+    cy = ((c >> 1) & 1) | (((c >> 4) & 1) << 1)
+    cz = ((c >> 2) & 1) | (((c >> 5) & 1) << 1)
+    return cx, cy, cz
+
+
+def _scan64(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
+            stable: bool = False):
+    """First occupied cell (in-order) of a 4^3 node along the mirrored ray
+    with cell exit strictly past max(t_q, 0). dc* = per-child-cell dt.
+    Returns (entry, exit, cell[64=none], tbx, tby, tbz)."""
+    tbx = [t1x - dcx * (4 - k) for k in range(5)]
+    tby = [t1y - dcy * (4 - k) for k in range(5)]
+    tbz = [t1z - dcz * (4 - k) for k in range(5)]
+    tq0 = jnp.maximum(t_q, 0.0)
+    best_en = jnp.full_like(t1x, MAX_FLOAT)
+    best_ex = jnp.full_like(t1x, MAX_FLOAT)
+    best_c = jnp.full_like(vm6, 64)
+    for c in range(64):
+        en = jnp.maximum(tbx[_CX[c]], jnp.maximum(tby[_CY[c]], tbz[_CZ[c]]))
+        ex = jnp.minimum(
+            tbx[_CX[c] + 1], jnp.minimum(tby[_CY[c] + 1], tbz[_CZ[c] + 1])
+        )
+        occ = _bit_at(mask_lo, mask_hi, jnp.int32(c) ^ vm6)
+        valid = occ & (en < ex) & (ex > tq0)
+        better = valid & (en < best_en)
+        best_en = jnp.where(better, en, best_en)
+        best_ex = jnp.where(better, ex, best_ex)
+        best_c = jnp.where(better, jnp.int32(c), best_c)
+    out = _stable(tuple([best_en, best_ex, best_c] + tbx + tby + tbz), stable)
+    return out[0], out[1], out[2], list(out[3:8]), list(out[8:13]), list(out[13:18])
+
+
+def _gather_node(tab, rows_n: int, idx):
+    """One-hot MXU gather of (mask_lo, mask_hi, base) for per-lane node
+    indices idx [S,128] from a byte-split f32 table [rows_n, 11*128]."""
+    idx_t = idx.T  # [128, S]
+    segcols = [[] for _ in range(N_TAB_SEG)]
+    for ch in range(S_BLK):
+        rcol = idx_t[:, ch:ch + 1] >> 7
+        lcol = idx_t[:, ch:ch + 1] & 127
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, rows_n), 1) == rcol
+        ).astype(jnp.float32)
+        a = jnp.dot(oh, tab, preferred_element_type=jnp.float32)
+        lm = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) == lcol
+        ).astype(jnp.float32)
+        for k in range(N_TAB_SEG):
+            segcols[k].append(
+                jnp.sum(a[:, k * 128:(k + 1) * 128] * lm, axis=1, keepdims=True)
+            )
+    segs = [
+        jnp.concatenate(cs, axis=1).T.astype(jnp.int32) for cs in segcols
+    ]  # each [S,128], values 0..255
+    mask_lo = _u(segs[0]) | (_u(segs[1]) << 8) | (_u(segs[2]) << 16) | (
+        _u(segs[3]) << 24
+    )
+    mask_hi = _u(segs[4]) | (_u(segs[5]) << 8) | (_u(segs[6]) << 16) | (
+        _u(segs[7]) << 24
+    )
+    base = segs[8] | (segs[9] << 8) | (segs[10] << 16)
+    return mask_lo, mask_hi, base
+
+
+def _ray_preamble(lov, upv, ro, rd, stable: bool = False):
+    """Mirrored parametrization (voxCommon.hpp:242-269 TPU form, identical
+    to ops/bricktree.py): returns per-axis (t0, t1, dt) + vm6 + enter_ok.
+    lov/upv: python lists of 3 scalar values (read from SMEM)."""
+    t0, t1, dt = [], [], []
+    vm6 = jnp.zeros_like(ro[0], dtype=I32)
+    pat = (0b001001, 0b010010, 0b100100)
+    for a in range(3):
+        lo = lov[a]
+        up = upv[a]
+        inv = 1.0 / rd[a]
+        neg = inv < 0.0
+        rom = jnp.where(neg, lo + up - ro[a], ro[a])
+        bound = (0.25 * MAX_FLOAT) / jnp.maximum(
+            jnp.maximum(jnp.abs(lo - rom), jnp.abs(up - rom)), 1.0
+        )
+        inva = jnp.minimum(jnp.abs(inv), bound)
+        t0a = (lo - rom) * inva
+        t1a = (up - rom) * inva
+        t0.append(t0a)
+        t1.append(t1a)
+        dt.append(t1a - t0a)
+        vm6 = vm6 | jnp.where(neg, jnp.int32(pat[a]), jnp.int32(0))
+    enter_ok = _min3(*t1) >= jnp.maximum(t0[0], jnp.maximum(t0[1], t0[2]))
+    out = _stable(tuple(t0 + t1 + dt + [vm6, enter_ok]), stable)
+    return list(out[0:3]), list(out[3:6]), list(out[6:9]), out[9], out[10]
+
+
+# ---------------------------------------------------------------------------
+# kernel A: restart probe through the top tree
+# ---------------------------------------------------------------------------
+
+def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False):
+    n_tabs = T - 1
+    assert len(level_rows) == n_tabs
+
+    def kernel(si_ref, sf_ref, *refs):
+        tabs = refs[:n_tabs]
+        (rox, roy, roz, rdx, rdy, rdz, tq_ref, act_ref,
+         emit_ref, brick_ref, bt1x_ref, bt1y_ref, bt1z_ref,
+         tqe_ref, tqn_ref, exh_ref) = refs[n_tabs:]
+
+        ro = (rox[:], roy[:], roz[:])
+        rd = (rdx[:], rdy[:], rdz[:])
+        lov = [sf_ref[0, a] for a in range(3)]
+        upv = [sf_ref[0, 3 + a] for a in range(3)]
+        t0, t1, dt, vm6, enter_ok = _ray_preamble(lov, upv, ro, rd, stable)
+
+        act = act_ref[:] != 0
+        t_q = tq_ref[:]
+
+        ml = _u(jnp.full_like(vm6, si_ref[0, 0])) | (
+            _u(jnp.full_like(vm6, si_ref[0, 1])) << 16
+        )
+        mh = _u(jnp.full_like(vm6, si_ref[0, 2])) | (
+            _u(jnp.full_like(vm6, si_ref[0, 3])) << 16
+        )
+        mask_lo, mask_hi = ml, mh
+        base = jnp.zeros_like(vm6)
+
+        ok = act & enter_ok
+        exhausted = act & ~enter_ok
+        cur = [t1[0], t1[1], t1[2]]
+        dc = [dt[0] * 0.25, dt[1] * 0.25, dt[2] * 0.25]
+        tq_new = t_q
+        emit = jnp.zeros_like(ok)
+        brick = jnp.zeros_like(vm6)
+        bt1 = [jnp.zeros_like(t_q) for _ in range(3)]
+        tq_emit = t_q
+
+        for depth in range(T):
+            en, ex, c, tbx, tby, tbz = _scan64(
+                mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
+                dc[0], dc[1], dc[2], t_q, stable=stable,
+            )
+            found = ok & (c < 64)
+            dead = ok & ~found
+            node_exit = _min3(cur[0], cur[1], cur[2])
+            tq_new = jnp.where(dead, node_exit, tq_new)
+            if depth == 0:
+                exhausted = exhausted | dead
+            ok = found
+
+            cx, cy, cz = _coords(c)
+            nt1x = _sel4(tbx[1:], cx)
+            nt1y = _sel4(tby[1:], cy)
+            nt1z = _sel4(tbz[1:], cz)
+            rank = _pc64_below(mask_lo, mask_hi, c ^ vm6)
+            child = base + rank
+
+            if depth == T - 1:
+                emit = ok
+                brick = jnp.where(ok, child, 0)
+                bt1 = [nt1x, nt1y, nt1z]
+                tq_new = jnp.where(ok, _min3(nt1x, nt1y, nt1z), tq_new)
+            else:
+                childc = jnp.where(ok, child, 0)
+                mask_lo, mask_hi, base = _stable(_gather_node(
+                    tabs[depth][:], level_rows[depth], childc
+                ), stable)
+                cur = [nt1x, nt1y, nt1z]
+                dc = [dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25]
+
+        emit_ref[:] = emit.astype(I32)
+        brick_ref[:] = brick
+        bt1x_ref[:] = bt1[0]
+        bt1y_ref[:] = bt1[1]
+        bt1z_ref[:] = bt1[2]
+        tqe_ref[:] = tq_emit
+        tqn_ref[:] = tq_new
+        exh_ref[:] = exhausted.astype(I32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# kernel B: in-brick hierarchical DDA
+# ---------------------------------------------------------------------------
+
+def _fold_select(items, sel_bits, nbits):
+    """Binary-select items[i] by per-lane index bits (list halving)."""
+    cur = list(items)
+    for b in range(nbits - 1, -1, -1):
+        cond = ((sel_bits >> b) & 1) == 1
+        half = len(cur) // 2
+        cur = [jnp.where(cond, cur[i + half], cur[i]) for i in range(half)]
+    return cur[0]
+
+
+def _make_kernel_b(T: int, shadow: bool, stable: bool = False):
+    dt_factor = 0.25 ** T  # brick extent / root extent per axis
+
+    def kernel(sf_ref, w_ref, *refs):
+        (rox, roy, roz, rdx, rdy, rdz,
+         bt1x_ref, bt1y_ref, bt1z_ref, tqe_ref, go_ref,
+         hit_ref, t_ref, nmaj_ref, vr_ref) = refs
+
+        ro = (rox[:], roy[:], roz[:])
+        rd = (rdx[:], rdy[:], rdz[:])
+        lov = [sf_ref[0, a] for a in range(3)]
+        upv = [sf_ref[0, 3 + a] for a in range(3)]
+        _, _, dt, vm6, _ = _ray_preamble(lov, upv, ro, rd, stable)
+
+        dtb = [dt[a] * dt_factor for a in range(3)]
+        dcs = [d * 0.25 for d in dtb]     # sub-brick cell dt
+        dcv = [d * 0.0625 for d in dtb]   # voxel cell dt
+
+        bt1 = [bt1x_ref[:], bt1y_ref[:], bt1z_ref[:]]
+        go = go_ref[:] != 0
+        coarse_lo = w_ref[128]
+        coarse_hi = w_ref[129]
+        base = w_ref[130].astype(I32)
+
+        zf = jnp.zeros_like(bt1[0])
+        zi = jnp.zeros_like(vm6)
+
+        def cond(st):
+            active, sub_tq, hit, t_hit, nmaj, vr, i = st
+            return jnp.any(active != 0) & (i < 12)
+
+        def body(st):
+            active_i, sub_tq, hit_i, t_hit, nmaj, vr, i = st
+            active = active_i != 0
+            hit = hit_i != 0
+            en_s, ex_s, cs, tbsx, tbsy, tbsz = _scan64(
+                coarse_lo, coarse_hi, vm6, bt1[0], bt1[1], bt1[2],
+                dcs[0], dcs[1], dcs[2], sub_tq, stable=stable,
+            )
+            found_s = active & (cs < 64)
+            s_real = jnp.where(found_s, cs ^ vm6, 0)
+
+            w_lo = _fold_select([w_ref[2 * s] for s in range(64)], s_real, 6)
+            w_hi = _fold_select(
+                [w_ref[2 * s + 1] for s in range(64)], s_real, 6
+            )
+
+            sx, sy, sz = _coords(cs)
+            st1x = _sel4(tbsx[1:], sx)
+            st1y = _sel4(tbsy[1:], sy)
+            st1z = _sel4(tbsz[1:], sz)
+
+            en_v, ex_v, cv, tbvx, tbvy, tbvz = _scan64(
+                w_lo, w_hi, vm6, st1x, st1y, st1z,
+                dcv[0], dcv[1], dcv[2], sub_tq, stable=stable,
+            )
+            found_v = found_s & (cv < 64)
+            is_hit = found_v & (en_v > 0.0)
+
+            vx, vy, vz = _coords(cv)
+            en_xa = _sel4(tbvx, vx)
+            en_ya = _sel4(tbvy, vy)
+            nm = jnp.where(en_v == en_xa, 1, jnp.where(en_v == en_ya, 2, 0))
+
+            if shadow:
+                vrank = zi
+            else:
+                pk = _fold_select(
+                    [w_ref[132 + t] for t in range(32)], s_real >> 1, 5
+                )
+                pref = jnp.where(
+                    (s_real & 1) == 1, pk >> 16, pk & jnp.uint32(_MASK16)
+                ).astype(I32)
+                within = _pc64_below(w_lo, w_hi, cv ^ vm6)
+                vrank = base + pref + within
+
+            hit = hit | is_hit
+            t_hit = jnp.where(is_hit, en_v, t_hit)
+            nmaj = jnp.where(is_hit, nm, nmaj)
+            vr = jnp.where(is_hit, vrank, vr)
+
+            skipped = found_v & ~is_hit          # origin-inside voxel
+            no_vox = found_s & ~found_v          # sub-brick had nothing left
+            sub_tq = jnp.where(
+                skipped, ex_v, jnp.where(no_vox, jnp.maximum(sub_tq, ex_s), sub_tq)
+            )
+            active = found_s & ~is_hit
+            return (active.astype(I32), sub_tq, hit.astype(I32), t_hit,
+                    nmaj, vr, i + 1)
+
+        init = (go.astype(I32), tqe_ref[:], jnp.zeros_like(vm6),
+                zf + MAX_FLOAT, zi - 1, zi, jnp.int32(0))
+        _, _, hit, t_hit, nmaj, vr, _ = jax.lax.while_loop(cond, body, init)
+
+        hit_ref[:] = hit.astype(I32)
+        t_ref[:] = t_hit
+        nmaj_ref[:] = nmaj
+        vr_ref[:] = vr
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# XLA orchestration
+# ---------------------------------------------------------------------------
+
+def _blk(i):
+    return (i, 0)
+
+
+def _rep(i):
+    return (0, 0)
+
+
+def _make_round(
+    bricks, tabs, scal_i, sf, rays_b, *,
+    nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
+    interpret: bool,
+):
+    """Builds one traversal-round function over block-compacted state.
+
+    Block-compacted scheduling: the per-ray state lives as [nb, RB] block
+    rows; every round picks up to `cap` still-active ray blocks
+    (jnp.nonzero over the per-block active flags) and runs one traversal
+    round (probe kernel -> HBM brick-row gather -> DDA kernel) on just
+    those. Block-granule takes move 8 KB rows, so compaction costs ~nothing
+    at this backend's per-row gather pricing, while the expensive per-lane
+    brick gather only ever runs for blocks that still have live rays.
+    Blocks beyond the capacity simply wait for a later round, so the
+    schedule is correct for any scene."""
+    grid = cap
+    s2 = cap * S_BLK
+    shape = (s2, 128)
+
+    smem = pl.BlockSpec((1, 8), _rep, memory_space=pltpu.SMEM)
+    vblk = pl.BlockSpec((S_BLK, 128), _blk, memory_space=pltpu.VMEM)
+    tab_specs = [
+        pl.BlockSpec((rows, N_TAB_SEG * 128), _rep, memory_space=pltpu.VMEM)
+        for rows in level_rows
+    ]
+
+    a_call = pl.pallas_call(
+        _make_kernel_a(T, level_rows, stable=interpret),
+        grid=(grid,),
+        in_specs=[smem, smem] + tab_specs + [vblk] * 8,
+        out_specs=[vblk] * 8,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, I32),          # emit
+            jax.ShapeDtypeStruct(shape, I32),          # brick
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1x
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1y
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1z
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_emit
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_new
+            jax.ShapeDtypeStruct(shape, I32),          # exhausted
+        ],
+        interpret=interpret,
+    )
+
+    wblk = pl.BlockSpec(
+        (BRICK_WORDS, S_BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    b_call = pl.pallas_call(
+        _make_kernel_b(T, shadow, stable=interpret),
+        grid=(grid,),
+        in_specs=[smem, wblk] + [vblk] * 11,
+        out_specs=[vblk] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, I32),          # hit
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # t
+            jax.ShapeDtypeStruct(shape, I32),          # nmajor
+            jax.ShapeDtypeStruct(shape, I32),          # vrank
+        ],
+        interpret=interpret,
+    )
+
+    def r2(v):
+        return v.reshape(shape)
+
+    def body(st):
+        it, resolved, t_q, t_out, nmaj_out, vidx_out = st
+        actb = jnp.any(resolved == 0, axis=1)  # [nb]
+        # round-robin rotation: without it, one long-running block starves
+        # all blocks behind it (nonzero picks lowest indices first)
+        shift = (it * cap) % nb
+        sel_r = jnp.nonzero(
+            jnp.roll(actb, -shift), size=cap, fill_value=nb
+        )[0]
+        sel = jnp.where(sel_r < nb, (sel_r + shift) % nb, nb)  # [cap]
+
+        def pick(x):
+            return r2(jnp.take(x, sel, axis=0, mode="clip"))
+
+        rays_c = [pick(x) for x in rays_b]
+        tq_c = pick(t_q)
+        act = (pick(resolved) == 0).astype(I32)
+
+        emit, brick, bt1x, bt1y, bt1z, tqe, tqn, exh = a_call(
+            scal_i, sf, *tabs, *rays_c, tq_c, act
+        )
+        ids = jnp.where(emit != 0, brick, 0).reshape(-1)
+        rows = jnp.take(bricks, ids, axis=0, mode="clip")  # [cap*RB, 164]
+        w3 = rows.T.reshape(BRICK_WORDS, s2, 128)
+        go = emit * act
+        hit, t_hit, nmaj, vr = b_call(
+            sf, w3, *rays_c, bt1x, bt1y, bt1z, tqe, go
+        )
+        # resume key for emitted lanes derives from the SAME bt1 planes the
+        # DDA kernel consumes (not the kernel-internal min3, which an XLA
+        # rematerialization could compute with different rounding)
+        tqn = jnp.where(emit != 0, _min3(bt1x, bt1y, bt1z), tqn)
+        newhit = (act != 0) & (hit != 0)
+        t_c = jnp.where(newhit, t_hit, pick(t_out))
+        nm_c = jnp.where(newhit, nmaj, pick(nmaj_out))
+        vi_c = jnp.where(newhit, vr, pick(vidx_out))
+        res_c = jnp.where(
+            (act != 0) & (newhit | (exh != 0)), 1, pick(resolved)
+        )
+        tq_n = jnp.where(act != 0, tqn, tq_c)
+
+        def put(x, v):
+            return x.at[sel].set(v.reshape(cap, RB), mode="drop")
+
+        return (
+            it + 1,
+            put(resolved, res_c),
+            put(t_q, tq_n),
+            put(t_out, t_c),
+            put(nmaj_out, nm_c),
+            put(vidx_out, vi_c),
+        )
+
+    return body
+
+
+def _init_state(nb):
+    z = jnp.zeros((nb, RB), I32)
+    return (
+        jnp.int32(0), z, jnp.zeros((nb, RB), jnp.float32),
+        jnp.full((nb, RB), MAX_FLOAT), z - 1, z,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "T", "level_rows", "shadow", "max_rounds", "cap_blocks"
+    ),
+)
+def _intersect_padded(
+    bricks, tabs, scal_i, lower, upper, ro, rd, *,
+    T: int, level_rows: tuple, shadow: bool, max_rounds: int = 256,
+    cap_blocks: int | None = None,
+):
+    """TPU path: jitted while_loop of block-compacted rounds."""
+    R = ro.shape[0]
+    nb = R // RB
+    cap = cap_blocks if cap_blocks else max(nb // 4, 1)
+
+    def blk(v):
+        return v.reshape(nb, RB)
+
+    rays_b = [blk(ro[:, 0]), blk(ro[:, 1]), blk(ro[:, 2]),
+              blk(rd[:, 0]), blk(rd[:, 1]), blk(rd[:, 2])]
+    sf = jnp.concatenate(
+        [lower.astype(jnp.float32), upper.astype(jnp.float32),
+         jnp.zeros(2, jnp.float32)]
+    ).reshape(1, 8)
+    body = _make_round(
+        bricks, tabs, scal_i, sf, rays_b,
+        nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
+        interpret=False,
+    )
+
+    def cond(st):
+        it, resolved, *_ = st
+        return (it < max_rounds) & jnp.any(resolved == 0)
+
+    _, _, _, t_out, nmaj_out, vidx_out = jax.lax.while_loop(
+        cond, body, _init_state(nb)
+    )
+    return (
+        t_out.reshape(R), nmaj_out.reshape(R), vidx_out.reshape(R).astype(U32)
+    )
+
+
+def _intersect_padded_eager(
+    bricks, tabs, scal_i, lower, upper, ro, rd, *,
+    T: int, level_rows: tuple, shadow: bool, max_rounds: int = 256,
+    cap_blocks: int | None = None,
+):
+    """CPU/interpret path: the same rounds driven by a Python loop.
+
+    Interpret-mode pallas kernels inlined into a jitted while_loop get fused
+    with surrounding XLA ops, and XLA may rematerialize shared subexpressions
+    with different FMA contraction per consumer -- which breaks the strict
+    resume-key comparisons this traversal relies on. Eager per-round calls
+    keep every kernel a single consistent compilation (exactly the situation
+    on the real TPU, where Mosaic compiles kernels separately and the issue
+    cannot arise)."""
+    R = ro.shape[0]
+    nb = R // RB
+    cap = cap_blocks if cap_blocks else max(nb // 4, 1)
+
+    def blk(v):
+        return v.reshape(nb, RB)
+
+    rays_b = [blk(ro[:, 0]), blk(ro[:, 1]), blk(ro[:, 2]),
+              blk(rd[:, 0]), blk(rd[:, 1]), blk(rd[:, 2])]
+    sf = jnp.concatenate(
+        [lower.astype(jnp.float32), upper.astype(jnp.float32),
+         jnp.zeros(2, jnp.float32)]
+    ).reshape(1, 8)
+    body = _make_round(
+        bricks, tabs, scal_i, sf, rays_b,
+        nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
+        interpret=True,
+    )
+    st = _init_state(nb)
+    while int(st[0]) < max_rounds and bool(jnp.any(st[1] == 0)):
+        st = body(st)
+    _, _, _, t_out, nmaj_out, vidx_out = st
+    return (
+        t_out.reshape(R), nmaj_out.reshape(R), vidx_out.reshape(R).astype(U32)
+    )
+
+
+def intersect_rays_hako(
+    bricks, tabs, scal_i, lower, upper, ro, rd, *,
+    T: int, level_rows: tuple, shadow: bool = False, max_rounds: int = 256,
+    interpret: bool | None = None, cap_blocks: int | None = None,
+):
+    """Full-frame traversal; pads the ray count to a multiple of 2048."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = ro.shape[0]
+    rpad = -(-R // RB) * RB
+    if rpad != R:
+        ro = jnp.concatenate([ro, jnp.zeros((rpad - R, 3), ro.dtype)])
+        rd = jnp.concatenate([rd, jnp.ones((rpad - R, 3), rd.dtype)])
+    fn = _intersect_padded_eager if interpret else _intersect_padded
+    t, nmaj, vidx = fn(
+        bricks, tabs, scal_i, lower, upper, ro, rd,
+        T=T, level_rows=level_rows, shadow=shadow, max_rounds=max_rounds,
+        cap_blocks=cap_blocks,
+    )
+    return t[:R], nmaj[:R], vidx[:R]
+
+
+def hako_args(tree: HakoTree):
+    """(meta pytree, static (T, level_rows)) for the accel dispatch."""
+    scal_i = jnp.asarray(
+        [[tree.root_mask_lo & _MASK16, tree.root_mask_lo >> 16,
+          tree.root_mask_hi & _MASK16, tree.root_mask_hi >> 16,
+          0, 0, 0, 0]], I32,
+    )
+    level_rows = tuple(t.shape[0] for t in tree.levels)
+    # kernel A consumes tables root-down: level T-1 first
+    tabs = tuple(reversed(tree.levels))
+    rows_rootdown = tuple(reversed(level_rows))
+    return (tree.bricks, tabs, scal_i), (tree.T, rows_rootdown)
+
+
+def intersect_hako(tree: HakoTree, ro, rd, shadow: bool = False):
+    meta, (T, level_rows) = hako_args(tree)
+    bricks, tabs, scal_i = meta
+    return intersect_rays_hako(
+        bricks, tabs, scal_i, tree.lower, tree.upper,
+        jnp.asarray(np.asarray(ro, np.float32)),
+        jnp.asarray(np.asarray(rd, np.float32)),
+        T=T, level_rows=level_rows, shadow=shadow,
+    )
