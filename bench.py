@@ -38,7 +38,9 @@ def main():
     height = int(os.environ.get("MVRT_BENCH_H", 1080))
     iters = int(os.environ.get("MVRT_BENCH_ITERS", 4))
 
-    accel = os.environ.get("MVRT_BENCH_ACCEL", "brick")
+    accel = os.environ.get("MVRT_BENCH_ACCEL")
+    if accel is None:
+        accel = "hako" if jax.default_backend() == "tpu" else "brick"
     tri = meshgen.bumpy_sphere(
         int(os.environ.get("MVRT_BENCH_SUBDIV", 5)), radius=0.9
     )

@@ -52,12 +52,21 @@ def main(argv=None):
     ap.add_argument("--from-res", type=int, default=128)
     ap.add_argument("--to-res", type=int, default=256)
     ap.add_argument("--lens-r", type=float, default=0.0)
-    ap.add_argument("--accel", choices=["octree", "brick"], default="brick")
+    ap.add_argument(
+        "--accel", choices=["octree", "brick", "hako"], default=None,
+        help="default: hako (Pallas kernels) on TPU, brick on CPU "
+        "(the hako interpret driver is eager and cannot sit inside "
+        "the jitted PT sample)",
+    )
     ap.add_argument("--hdri", default="procedural",
                     help="'procedural', 'none', or a .hdr path")
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default="out/anim")
     args = ap.parse_args(argv)
+    if args.accel is None:
+        import jax
+
+        args.accel = "hako" if jax.default_backend() == "tpu" else "brick"
 
     begin, end = args.frame_range or (0, args.frames)
     os.makedirs(args.out, exist_ok=True)

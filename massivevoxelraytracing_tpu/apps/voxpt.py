@@ -44,10 +44,19 @@ def main(argv=None):
     ap.add_argument("--snapshot-every", type=int, default=4)
     ap.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     ap.add_argument("--checkpoint", default=None, help="write checkpoint here")
-    ap.add_argument("--accel", choices=["octree", "brick"], default="brick")
+    ap.add_argument(
+        "--accel", choices=["octree", "brick", "hako"], default=None,
+        help="default: hako (Pallas kernels) on TPU, brick on CPU "
+        "(the hako interpret driver is eager and cannot sit inside "
+        "the jitted PT sample)",
+    )
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default="out/pt")
     args = ap.parse_args(argv)
+    if args.accel is None:
+        import jax
+
+        args.accel = "hako" if jax.default_backend() == "tpu" else "brick"
     os.makedirs(args.out, exist_ok=True)
 
     cfg = EngineConfig(
@@ -65,7 +74,7 @@ def main(argv=None):
         six_separating=cfg.six_separating, dag=cfg.dag, cap=cfg.cap,
         chunk_tris=cfg.chunk_tris, accel=args.accel,
     )
-    t_build = sw.lap("build", tree.meta)
+    t_build = sw.lap("build", tree.bricks if hasattr(tree, "bricks") else tree.meta)
     print(
         f"[voxpt] res({args.res}) voxels({tree.n_voxels}) nodes({tree.n_nodes}) "
         f"octree({tree.memory_bytes()/1e6:.2f} MB) emissive({tree.has_emission}) "

@@ -42,10 +42,19 @@ def main(argv=None):
     ap.add_argument("--dag", type=int, default=1)
     ap.add_argument("--oracle", action="store_true",
                     help="A/B against the brute-force intersector")
-    ap.add_argument("--accel", choices=["octree", "brick"], default="brick")
+    ap.add_argument(
+        "--accel", choices=["octree", "brick", "hako"], default=None,
+        help="default: hako (Pallas kernels) on TPU, brick on CPU "
+        "(the hako interpret driver is eager and cannot sit inside "
+        "the jitted PT sample)",
+    )
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default="out")
     args = ap.parse_args(argv)
+    if args.accel is None:
+        import jax
+
+        args.accel = "hako" if jax.default_backend() == "tpu" else "brick"
 
     os.makedirs(args.out, exist_ok=True)
     tri, colors, emissions = load_scene(args.scene)
@@ -58,7 +67,7 @@ def main(argv=None):
         six_separating=bool(args.six_separating), dag=bool(args.dag),
         accel=args.accel,
     )
-    t_build = sw.lap("build", tree.meta)
+    t_build = sw.lap("build", tree.bricks if hasattr(tree, "bricks") else tree.meta)
 
     lo = np.asarray(origin)
     extent = float(dps) * args.res

@@ -205,6 +205,19 @@ def _build_top_level(t_m, n_in, *, p_out: int):
     )
 
 
+FLAT_TABLE_MAX = 2048  # levels with <= this many nodes use the flat format
+
+
+def _table_segs(mask_lo, mask_hi, base):
+    return [
+        mask_lo & 255, (mask_lo >> 8) & 255, (mask_lo >> 16) & 255,
+        (mask_lo >> 24) & 255,
+        mask_hi & 255, (mask_hi >> 8) & 255, (mask_hi >> 16) & 255,
+        (mask_hi >> 24) & 255,
+        base & 255, (base >> 8) & 255, (base >> 16) & 255,
+    ]
+
+
 def _byte_split_table(mask_lo, mask_hi, base) -> np.ndarray:
     """Host: (u32, u32, u32)[n] -> f32 [rows, 11*128] byte-split table."""
     n = len(mask_lo)
@@ -212,15 +225,21 @@ def _byte_split_table(mask_lo, mask_hi, base) -> np.ndarray:
     tab = np.zeros((rows, N_TAB_SEG * 128), np.float32)
     r = np.arange(n) >> 7
     j = np.arange(n) & 127
-    segs = [
-        mask_lo & 255, (mask_lo >> 8) & 255, (mask_lo >> 16) & 255,
-        (mask_lo >> 24) & 255,
-        mask_hi & 255, (mask_hi >> 8) & 255, (mask_hi >> 16) & 255,
-        (mask_hi >> 24) & 255,
-        base & 255, (base >> 8) & 255, (base >> 16) & 255,
-    ]
-    for k, s in enumerate(segs):
+    for k, s in enumerate(_table_segs(mask_lo, mask_hi, base)):
         tab[r, k * 128 + j] = s.astype(np.float32)
+    return tab
+
+
+def _flat_table(mask_lo, mask_hi, base) -> np.ndarray:
+    """Host: f32 [n_pad, 16] node table (byte segs along lanes) for the
+    composite one-hot gather: one [128, n] matmul fetches all segments of a
+    node at once -- profitable while n stays small (kernel A picks the path
+    by table shape)."""
+    n = len(mask_lo)
+    n_pad = max(-(-n // 128) * 128, 128)
+    tab = np.zeros((n_pad, 16), np.float32)
+    for k, s in enumerate(_table_segs(mask_lo, mask_hi, base)):
+        tab[:n, k] = s.astype(np.float32)
     return tab
 
 
@@ -260,7 +279,8 @@ def build_hako(
             ml = np.asarray(lv["mask_lo"])[:n_l]
             mh = np.asarray(lv["mask_hi"])[:n_l]
             bs = np.asarray(lv["base"])[:n_l]
-            levels.append(jnp.asarray(_byte_split_table(ml, mh, bs)))
+            make = _flat_table if n_l <= FLAT_TABLE_MAX else _byte_split_table
+            levels.append(jnp.asarray(make(ml, mh, bs)))
             n_per_level.append(n_l)
         t_m, n_in = lv["t_m"], int(counts[l])
 

@@ -5,29 +5,37 @@ Replaces the reference's stack-walk hot loop
 with a TPU-shaped two-kernel pipeline:
 
   kernel A ("probe"): restart descent from the root through the VMEM top
-    tree -- per probe, T unrolled levels of {one-hot MXU node gather,
-    in-order 64-cell scan} -- emitting the next fat brick the ray enters
-    (or advancing past a dead subtree, or declaring the ray exhausted).
-    Node gathers are one-hot f32 matmuls over byte-split tables (bf16-exact
-    since every operand is <= 255), 16 ray-chunks of 128 per block.
+    tree -- a bounded while_loop of probes, each T unrolled levels of
+    {one-hot MXU node gather, in-order 4^3 merge-walk} -- advancing past
+    dead subtrees in-kernel and emitting the next fat brick the ray enters
+    (or declaring the ray exhausted). Node gathers are one-hot bf16 MXU
+    matmuls over byte-split tables followed by a per-lane
+    take_along_axis(axis=1) lane select (single-vreg dynamic gather -- the
+    one form Mosaic supports, scripts/dyngather_probe2.py).
 
   XLA row-gather: ONE wide HBM gather per emitted brick (the only HBM
     random access in the whole traversal; measured 57-125 M rows/s
     regardless of width, scripts/gather_probe3.py).
 
-  kernel B ("DDA"): hierarchical in-order scan inside the 16^3 brick --
-    coarse 4^3 sub-brick scan, per-lane word-pair fetch by binary select
-    tree (Mosaic has no cross-sublane gather), then the 4^3 voxel scan;
+  kernel B ("DDA"): hierarchical in-order walk inside the 16^3 brick --
+    coarse 4^3 sub-brick merge-walk, per-lane word-pair fetch by binary
+    select tree (no cross-sublane gather exists), then the 4^3 voxel walk;
     voxel rank = brick base + sub-brick prefix + popcount (the reference's
-    nVoxelsPSum indexing, voxCommon.hpp:390, as pure bit math).
+    nVoxelsPSum indexing, voxCommon.hpp:390, as pure bit math). Iterations
+    are capped; capped-out lanes resume via their sub-brick t key on the
+    next round (the reference's SMALL_STACK restart trick,
+    voxCommon.hpp:201-212, as a t-resume instead of a stack).
+
+The in-order scan primitive is a MERGE-WALK, not a 64-cell sweep: cells a
+ray crosses in a 4^3 node form a monotone lattice path of <= 10 cells, so
+10 unrolled slots of {occupancy test, first-valid record, step the axis
+with the nearest crossing} visit exactly the cells the reference's
+in-order traversal visits, in the same order, at ~half the VPU cost of
+evaluating all 64 cells.
 
 An XLA while_loop alternates A / gather / B until every ray hits or
 exhausts. Mirroring (negative ray directions) uses the same XOR trick as
 the reference (voxCommon.hpp:242-260) at every 6-bit Morton level.
-
-All primitives used here were validated on-chip first (scripts/*probe*.py):
-no reshapes across the lane boundary, no take_along_axis, no cross-sublane
-dynamic indexing.
 """
 
 from __future__ import annotations
@@ -41,7 +49,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bits import I32, U32
-from .bricktree import _CX, _CY, _CZ
 
 MAX_FLOAT = 3.402823466e38  # python float: jnp scalars get captured as consts in kernels
 from .hako import BRICK_WORDS, N_TAB_SEG, HakoTree
@@ -49,6 +56,14 @@ from .hako import BRICK_WORDS, N_TAB_SEG, HakoTree
 S_BLK = 16                 # sublane rows per ray block
 RB = S_BLK * 128           # 2048 rays per grid step
 _MASK16 = 0xFFFF
+MAX_PROBES = 2             # kernel A: descents per call. The probe loop runs
+                           # to the SLOWEST lane of a 2048-lane block, so high
+                           # caps multiply whole-block cost for straggler
+                           # lanes; swept on-chip (scripts/hako_sweep.py):
+                           # P=2 137 ms/frame vs P=16 2089 ms at 256^3.
+                           # Lanes needing more probes go through another
+                           # (smaller, cap-laddered) round instead.
+MAX_DDA_ITERS = 12         # kernel B: sub-brick visits per call (then t-resume)
 
 
 def _u(x):
@@ -101,6 +116,10 @@ def _min3(a, b, c):
     return jnp.minimum(a, jnp.minimum(b, c))
 
 
+def _max3(a, b, c):
+    return jnp.maximum(a, jnp.maximum(b, c))
+
+
 def _coords(c):
     cx = (c & 1) | (((c >> 3) & 1) << 1)
     cy = ((c >> 1) & 1) | (((c >> 4) & 1) << 1)
@@ -108,11 +127,25 @@ def _coords(c):
     return cx, cy, cz
 
 
-def _scan64(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
-            stable: bool = False):
-    """First occupied cell (in-order) of a 4^3 node along the mirrored ray
-    with cell exit strictly past max(t_q, 0). dc* = per-child-cell dt.
-    Returns (entry, exit, cell[64=none], tbx, tby, tbz)."""
+def _cell_of(cx, cy, cz):
+    """Inverse of _coords: 2-bit coords -> 6-bit Morton-layout cell index."""
+    return (
+        (cx & 1) | ((cy & 1) << 1) | ((cz & 1) << 2)
+        | ((cx >> 1) << 3) | ((cy >> 1) << 4) | ((cz >> 1) << 5)
+    )
+
+
+SCAN_IMPL = "walk"  # "walk" (10-slot lattice walk) or "scan" (64-cell sweep)
+
+
+def _scan64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
+                 stable: bool = False):
+    """64-cell in-order sweep (the alternative implementation of _walk64's
+    contract; kept selectable for on-chip A/B tuning via SCAN_IMPL --
+    its 64 cells are data-independent, which the VLIW VPU may schedule
+    better than the walk's serial slot chain)."""
+    from .bricktree import _CX, _CY, _CZ
+
     tbx = [t1x - dcx * (4 - k) for k in range(5)]
     tby = [t1y - dcy * (4 - k) for k in range(5)]
     tbz = [t1z - dcz * (4 - k) for k in range(5)]
@@ -135,9 +168,127 @@ def _scan64(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
     return out[0], out[1], out[2], list(out[3:8]), list(out[8:13]), list(out[13:18])
 
 
+def _walk64(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
+            stable: bool = False):
+    if SCAN_IMPL == "scan":
+        return _scan64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
+                            dcx, dcy, dcz, t_q, stable)
+    return _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
+                        dcx, dcy, dcz, t_q, stable)
+
+
+def _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
+                 stable: bool = False):
+    """First occupied cell (in-order) of a 4^3 node along the mirrored ray
+    with cell exit strictly past max(t_q, 0). dc* = per-child-cell dt.
+    Returns (entry, exit, cell[64=none], tbx, tby, tbz) -- identical
+    contract to the 64-cell sweep it replaces, implemented as a 10-slot
+    monotone lattice walk (a ray crosses <= 3*4-2 cells of a 4^3 grid)."""
+    tbx = [t1x - dcx * (4 - k) for k in range(5)]
+    tby = [t1y - dcy * (4 - k) for k in range(5)]
+    tbz = [t1z - dcz * (4 - k) for k in range(5)]
+    tq0 = jnp.maximum(t_q, 0.0)
+
+    node_en = _max3(tbx[0], tby[0], tbz[0])
+    node_ex = _min3(tbx[4], tby[4], tbz[4])
+    t_start = jnp.maximum(node_en, tq0)
+
+    def start_coord(tb):
+        return (
+            (tb[1] <= t_start).astype(I32)
+            + (tb[2] <= t_start).astype(I32)
+            + (tb[3] <= t_start).astype(I32)
+        )
+
+    cx = start_coord(tbx)
+    cy = start_coord(tby)
+    cz = start_coord(tbz)
+    # true entry of the start cell (scan semantics report the cell's real
+    # entry time, which can precede a resume key)
+    en = _max3(_sel4(tbx, cx), _sel4(tby, cy), _sel4(tbz, cz))
+    nx = _sel4(tbx[1:], cx)
+    ny = _sel4(tby[1:], cy)
+    nz = _sel4(tbz[1:], cz)
+
+    alive = t_start < node_ex
+    found = jnp.zeros_like(alive)
+    best_en = jnp.full_like(t1x, MAX_FLOAT)
+    best_ex = jnp.full_like(t1x, MAX_FLOAT)
+    best_c = jnp.full_like(vm6, 64)
+
+    for _slot in range(10):
+        ex = _min3(nx, ny, nz)
+        cell = _cell_of(cx, cy, cz)
+        occ = _bit_at(mask_lo, mask_hi, cell ^ vm6)
+        valid = alive & occ & (en < ex) & (ex > tq0)
+        take = valid & ~found
+        best_en = jnp.where(take, en, best_en)
+        best_ex = jnp.where(take, ex, best_ex)
+        best_c = jnp.where(take, cell, best_c)
+        found = found | valid
+        if _slot == 9:
+            break
+        # step the axis whose plane is crossed first (ties: x, then y)
+        sx = (nx <= ny) & (nx <= nz)
+        sy = ~sx & (ny <= nz)
+        sz = ~sx & ~sy
+        cx = cx + sx.astype(I32)
+        cy = cy + sy.astype(I32)
+        cz = cz + sz.astype(I32)
+        en = ex
+        nx = jnp.where(sx & (cx < 4), _sel4(tbx[1:], jnp.minimum(cx, 3)), nx)
+        ny = jnp.where(sy & (cy < 4), _sel4(tby[1:], jnp.minimum(cy, 3)), ny)
+        nz = jnp.where(sz & (cz < 4), _sel4(tbz[1:], jnp.minimum(cz, 3)), nz)
+        alive = alive & ~found & (cx < 4) & (cy < 4) & (cz < 4)
+
+    out = _stable(tuple([best_en, best_ex, best_c] + tbx + tby + tbz), stable)
+    return out[0], out[1], out[2], list(out[3:8]), list(out[8:13]), list(out[13:18])
+
+
+GATHER_IMPL = "multsum"  # "multsum" (mask+reduce) or "taa" (dynamic gather)
+
+
+def _gather_node_flat(tab, n_pad: int, idx):
+    """Composite one-hot gather from a flat [n_pad, 16] f32 node table: ONE
+    bf16-exact matmul per ray chunk fetches all 11 byte segments of a node
+    at once -- ~7x cheaper than the two-level form while the level stays
+    small (the [128, n] one-hot build is the linear-in-n part)."""
+    idx_t = idx.T  # [128, S]
+    chunk_a = []
+    for ch in range(S_BLK):
+        col = idx_t[:, ch:ch + 1]
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, n_pad), 1) == col
+        ).astype(jnp.float32)
+        chunk_a.append(jnp.dot(oh, tab, preferred_element_type=jnp.float32))
+    segs = [
+        jnp.concatenate([a[:, k:k + 1] for a in chunk_a], axis=1)
+        .T.astype(jnp.int32)
+        for k in range(N_TAB_SEG)
+    ]  # each [S,128], values 0..255
+    mask_lo = _u(segs[0]) | (_u(segs[1]) << 8) | (_u(segs[2]) << 16) | (
+        _u(segs[3]) << 24
+    )
+    mask_hi = _u(segs[4]) | (_u(segs[5]) << 8) | (_u(segs[6]) << 16) | (
+        _u(segs[7]) << 24
+    )
+    base = segs[8] | (segs[9] << 8) | (segs[10] << 16)
+    return mask_lo, mask_hi, base
+
+
+def _gather_node_any(tab, form, idx):
+    """form: ('flat', n_pad) or ('split', rows) -- static per level."""
+    kind, dim = form
+    if kind == "flat":
+        return _gather_node_flat(tab, dim, idx)
+    return _gather_node(tab, dim, idx)
+
+
 def _gather_node(tab, rows_n: int, idx):
     """One-hot MXU gather of (mask_lo, mask_hi, base) for per-lane node
-    indices idx [S,128] from a byte-split f32 table [rows_n, 11*128]."""
+    indices idx [S,128] from a byte-split f32 table [rows_n, 11*128]:
+    row select = one-hot matmul (bf16-exact, all values <= 255), lane
+    select = take_along_axis along lanes (single-vreg dynamic gather)."""
     idx_t = idx.T  # [128, S]
     segcols = [[] for _ in range(N_TAB_SEG)]
     for ch in range(S_BLK):
@@ -147,13 +298,23 @@ def _gather_node(tab, rows_n: int, idx):
             jax.lax.broadcasted_iota(jnp.int32, (128, rows_n), 1) == rcol
         ).astype(jnp.float32)
         a = jnp.dot(oh, tab, preferred_element_type=jnp.float32)
-        lm = (
-            jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) == lcol
-        ).astype(jnp.float32)
-        for k in range(N_TAB_SEG):
-            segcols[k].append(
-                jnp.sum(a[:, k * 128:(k + 1) * 128] * lm, axis=1, keepdims=True)
-            )
+        if GATHER_IMPL == "taa":
+            lfull = jnp.broadcast_to(lcol, (128, 128))  # Mosaic gather wants
+            for k in range(N_TAB_SEG):                  # idx.shape == operand's
+                segcols[k].append(
+                    jnp.take_along_axis(
+                        a[:, k * 128:(k + 1) * 128], lfull, axis=1
+                    )[:, :1]
+                )
+        else:
+            lm = (
+                jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) == lcol
+            ).astype(jnp.float32)
+            for k in range(N_TAB_SEG):
+                segcols[k].append(
+                    jnp.sum(a[:, k * 128:(k + 1) * 128] * lm, axis=1,
+                            keepdims=True)
+                )
     segs = [
         jnp.concatenate(cs, axis=1).T.astype(jnp.int32) for cs in segcols
     ]  # each [S,128], values 0..255
@@ -196,10 +357,13 @@ def _ray_preamble(lov, upv, ro, rd, stable: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# kernel A: restart probe through the top tree
+# kernel A: restart probe through the top tree (multi-probe)
 # ---------------------------------------------------------------------------
 
-def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False):
+def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
+                   max_probes: int | None = None):
+    if max_probes is None:
+        max_probes = MAX_PROBES  # read at build time so tests can patch it
     n_tabs = T - 1
     assert len(level_rows) == n_tabs
 
@@ -216,68 +380,89 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False):
         t0, t1, dt, vm6, enter_ok = _ray_preamble(lov, upv, ro, rd, stable)
 
         act = act_ref[:] != 0
-        t_q = tq_ref[:]
-
-        ml = _u(jnp.full_like(vm6, si_ref[0, 0])) | (
+        rt_ml = _u(jnp.full_like(vm6, si_ref[0, 0])) | (
             _u(jnp.full_like(vm6, si_ref[0, 1])) << 16
         )
-        mh = _u(jnp.full_like(vm6, si_ref[0, 2])) | (
+        rt_mh = _u(jnp.full_like(vm6, si_ref[0, 2])) | (
             _u(jnp.full_like(vm6, si_ref[0, 3])) << 16
         )
-        mask_lo, mask_hi = ml, mh
-        base = jnp.zeros_like(vm6)
 
-        ok = act & enter_ok
-        exhausted = act & ~enter_ok
-        cur = [t1[0], t1[1], t1[2]]
-        dc = [dt[0] * 0.25, dt[1] * 0.25, dt[2] * 0.25]
-        tq_new = t_q
-        emit = jnp.zeros_like(ok)
-        brick = jnp.zeros_like(vm6)
-        bt1 = [jnp.zeros_like(t_q) for _ in range(3)]
-        tq_emit = t_q
+        zf = jnp.zeros_like(t1[0])
+        zi = jnp.zeros_like(vm6)
+        t_q0 = tq_ref[:]
+        exhausted0 = act & ~enter_ok
+        need0 = act & enter_ok
 
-        for depth in range(T):
-            en, ex, c, tbx, tby, tbz = _scan64(
-                mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
-                dc[0], dc[1], dc[2], t_q, stable=stable,
-            )
-            found = ok & (c < 64)
-            dead = ok & ~found
-            node_exit = _min3(cur[0], cur[1], cur[2])
-            tq_new = jnp.where(dead, node_exit, tq_new)
-            if depth == 0:
-                exhausted = exhausted | dead
-            ok = found
+        def probe_body(st):
+            need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i, p = st
+            need = need_i != 0
+            emit = emit_i != 0
+            exh = exh_i != 0
+            ok = need
+            mask_lo, mask_hi = rt_ml, rt_mh
+            base = zi
+            cur = [t1[0], t1[1], t1[2]]
+            dc = [dt[0] * 0.25, dt[1] * 0.25, dt[2] * 0.25]
+            tq_new = t_q
 
-            cx, cy, cz = _coords(c)
-            nt1x = _sel4(tbx[1:], cx)
-            nt1y = _sel4(tby[1:], cy)
-            nt1z = _sel4(tbz[1:], cz)
-            rank = _pc64_below(mask_lo, mask_hi, c ^ vm6)
-            child = base + rank
+            for depth in range(T):
+                en, ex, c, tbx, tby, tbz = _walk64(
+                    mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
+                    dc[0], dc[1], dc[2], t_q, stable=stable,
+                )
+                found = ok & (c < 64)
+                dead = ok & ~found
+                node_exit = _min3(cur[0], cur[1], cur[2])
+                tq_new = jnp.where(dead, node_exit, tq_new)
+                if depth == 0:
+                    exh = exh | dead
+                ok = found
 
-            if depth == T - 1:
-                emit = ok
-                brick = jnp.where(ok, child, 0)
-                bt1 = [nt1x, nt1y, nt1z]
-                tq_new = jnp.where(ok, _min3(nt1x, nt1y, nt1z), tq_new)
-            else:
-                childc = jnp.where(ok, child, 0)
-                mask_lo, mask_hi, base = _stable(_gather_node(
-                    tabs[depth][:], level_rows[depth], childc
-                ), stable)
-                cur = [nt1x, nt1y, nt1z]
-                dc = [dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25]
+                cx, cy, cz = _coords(c)
+                nt1x = _sel4(tbx[1:], cx)
+                nt1y = _sel4(tby[1:], cy)
+                nt1z = _sel4(tbz[1:], cz)
+                rank = _pc64_below(mask_lo, mask_hi, c ^ vm6)
+                child = base + rank
 
-        emit_ref[:] = emit.astype(I32)
-        brick_ref[:] = brick
-        bt1x_ref[:] = bt1[0]
-        bt1y_ref[:] = bt1[1]
-        bt1z_ref[:] = bt1[2]
-        tqe_ref[:] = tq_emit
+                if depth == T - 1:
+                    emit = emit | ok
+                    brick = jnp.where(ok, child, brick)
+                    bt1x = jnp.where(ok, nt1x, bt1x)
+                    bt1y = jnp.where(ok, nt1y, bt1y)
+                    bt1z = jnp.where(ok, nt1z, bt1z)
+                    tqe = jnp.where(ok, t_q, tqe)
+                    tq_new = jnp.where(ok, _min3(nt1x, nt1y, nt1z), tq_new)
+                else:
+                    childc = jnp.where(ok, child, 0)
+                    mask_lo, mask_hi, base = _stable(_gather_node_any(
+                        tabs[depth][:], level_rows[depth], childc
+                    ), stable)
+                    cur = [nt1x, nt1y, nt1z]
+                    dc = [dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25]
+
+            need = need & ~emit & ~exh
+            return (need.astype(I32), tq_new, emit.astype(I32), brick,
+                    bt1x, bt1y, bt1z, tqe, exh.astype(I32), p + 1)
+
+        def probe_cond(st):
+            need = st[0]
+            p = st[-1]
+            return jnp.any(need != 0) & (p < max_probes)
+
+        init = (need0.astype(I32), t_q0, jnp.zeros_like(vm6), zi, zf, zf, zf,
+                t_q0, exhausted0.astype(I32), jnp.int32(0))
+        (need, tq_new, emit, brick, bt1x, bt1y, bt1z, tqe, exhausted,
+         _p) = jax.lax.while_loop(probe_cond, probe_body, init)
+
+        emit_ref[:] = emit
+        brick_ref[:] = jnp.where(emit != 0, brick, 0)
+        bt1x_ref[:] = bt1x
+        bt1y_ref[:] = bt1y
+        bt1z_ref[:] = bt1z
+        tqe_ref[:] = tqe
         tqn_ref[:] = tq_new
-        exh_ref[:] = exhausted.astype(I32)
+        exh_ref[:] = exhausted
 
     return kernel
 
@@ -296,13 +481,16 @@ def _fold_select(items, sel_bits, nbits):
     return cur[0]
 
 
-def _make_kernel_b(T: int, shadow: bool, stable: bool = False):
+def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
+                   max_iters: int | None = None):
+    if max_iters is None:
+        max_iters = MAX_DDA_ITERS  # read at build time so tests can patch it
     dt_factor = 0.25 ** T  # brick extent / root extent per axis
 
     def kernel(sf_ref, w_ref, *refs):
         (rox, roy, roz, rdx, rdy, rdz,
          bt1x_ref, bt1y_ref, bt1z_ref, tqe_ref, go_ref,
-         hit_ref, t_ref, nmaj_ref, vr_ref) = refs
+         hit_ref, t_ref, nmaj_ref, vr_ref, more_ref, tqr_ref) = refs
 
         ro = (rox[:], roy[:], roz[:])
         rd = (rdx[:], rdy[:], rdz[:])
@@ -320,18 +508,17 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False):
         coarse_hi = w_ref[129]
         base = w_ref[130].astype(I32)
 
-        zf = jnp.zeros_like(bt1[0])
         zi = jnp.zeros_like(vm6)
 
         def cond(st):
             active, sub_tq, hit, t_hit, nmaj, vr, i = st
-            return jnp.any(active != 0) & (i < 12)
+            return jnp.any(active != 0) & (i < max_iters)
 
         def body(st):
             active_i, sub_tq, hit_i, t_hit, nmaj, vr, i = st
             active = active_i != 0
             hit = hit_i != 0
-            en_s, ex_s, cs, tbsx, tbsy, tbsz = _scan64(
+            en_s, ex_s, cs, tbsx, tbsy, tbsz = _walk64(
                 coarse_lo, coarse_hi, vm6, bt1[0], bt1[1], bt1[2],
                 dcs[0], dcs[1], dcs[2], sub_tq, stable=stable,
             )
@@ -348,7 +535,7 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False):
             st1y = _sel4(tbsy[1:], sy)
             st1z = _sel4(tbsz[1:], sz)
 
-            en_v, ex_v, cv, tbvx, tbvy, tbvz = _scan64(
+            en_v, ex_v, cv, tbvx, tbvy, tbvz = _walk64(
                 w_lo, w_hi, vm6, st1x, st1y, st1z,
                 dcv[0], dcv[1], dcv[2], sub_tq, stable=stable,
             )
@@ -387,13 +574,19 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False):
                     nmaj, vr, i + 1)
 
         init = (go.astype(I32), tqe_ref[:], jnp.zeros_like(vm6),
-                zf + MAX_FLOAT, zi - 1, zi, jnp.int32(0))
-        _, _, hit, t_hit, nmaj, vr, _ = jax.lax.while_loop(cond, body, init)
+                jnp.zeros_like(bt1[0]) + MAX_FLOAT, zi - 1, zi, jnp.int32(0))
+        active, sub_tq, hit, t_hit, nmaj, vr, _ = jax.lax.while_loop(
+            cond, body, init
+        )
 
         hit_ref[:] = hit.astype(I32)
         t_ref[:] = t_hit
         nmaj_ref[:] = nmaj
         vr_ref[:] = vr
+        # lanes still working the brick when the iteration cap struck resume
+        # from their sub-brick key on the next round
+        more_ref[:] = active
+        tqr_ref[:] = sub_tq
 
     return kernel
 
@@ -415,17 +608,19 @@ def _make_round(
     nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
     interpret: bool,
 ):
-    """Builds one traversal-round function over block-compacted state.
+    """Builds one traversal-round function over BLOCK-compacted state.
 
-    Block-compacted scheduling: the per-ray state lives as [nb, RB] block
-    rows; every round picks up to `cap` still-active ray blocks
-    (jnp.nonzero over the per-block active flags) and runs one traversal
-    round (probe kernel -> HBM brick-row gather -> DDA kernel) on just
-    those. Block-granule takes move 8 KB rows, so compaction costs ~nothing
-    at this backend's per-row gather pricing, while the expensive per-lane
-    brick gather only ever runs for blocks that still have live rays.
-    Blocks beyond the capacity simply wait for a later round, so the
-    schedule is correct for any scene."""
+    Per-ray state lives as [nb, RB] block rows; every round picks up to
+    `cap` still-active ray BLOCKS (jnp.nonzero over per-block flags, with a
+    round-robin rotation so long-running blocks cannot starve the rest) and
+    runs probe kernel -> HBM brick-row gather -> DDA kernel on just those.
+    Block-granule takes move 8 KB rows, so compaction costs ~nothing at this
+    backend's per-row gather pricing. Lane-granular compaction (nonzero over
+    all lanes + per-lane scatter back) was tried and is 15-18x SLOWER end to
+    end on this backend: 2M-index gathers/scatters of 7 state arrays run on
+    the scalar core and cost ~100 ms per round at full width (measured
+    2.5 s/frame vs 137 ms for the identical kernels, 2026-08 session logs).
+    """
     grid = cap
     s2 = cap * S_BLK
     shape = (s2, 128)
@@ -433,8 +628,11 @@ def _make_round(
     smem = pl.BlockSpec((1, 8), _rep, memory_space=pltpu.SMEM)
     vblk = pl.BlockSpec((S_BLK, 128), _blk, memory_space=pltpu.VMEM)
     tab_specs = [
-        pl.BlockSpec((rows, N_TAB_SEG * 128), _rep, memory_space=pltpu.VMEM)
-        for rows in level_rows
+        pl.BlockSpec(
+            (dim, 16) if kind == "flat" else (dim, N_TAB_SEG * 128),
+            _rep, memory_space=pltpu.VMEM,
+        )
+        for kind, dim in level_rows
     ]
 
     a_call = pl.pallas_call(
@@ -462,12 +660,14 @@ def _make_round(
         _make_kernel_b(T, shadow, stable=interpret),
         grid=(grid,),
         in_specs=[smem, wblk] + [vblk] * 11,
-        out_specs=[vblk] * 4,
+        out_specs=[vblk] * 6,
         out_shape=[
             jax.ShapeDtypeStruct(shape, I32),          # hit
             jax.ShapeDtypeStruct(shape, jnp.float32),  # t
             jax.ShapeDtypeStruct(shape, I32),          # nmajor
             jax.ShapeDtypeStruct(shape, I32),          # vrank
+            jax.ShapeDtypeStruct(shape, I32),          # more (iter-capped)
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # resume sub_tq
         ],
         interpret=interpret,
     )
@@ -500,13 +700,19 @@ def _make_round(
         rows = jnp.take(bricks, ids, axis=0, mode="clip")  # [cap*RB, 164]
         w3 = rows.T.reshape(BRICK_WORDS, s2, 128)
         go = emit * act
-        hit, t_hit, nmaj, vr = b_call(
+        hit, t_hit, nmaj, vr, more, tq_resume = b_call(
             sf, w3, *rays_c, bt1x, bt1y, bt1z, tqe, go
         )
-        # resume key for emitted lanes derives from the SAME bt1 planes the
-        # DDA kernel consumes (not the kernel-internal min3, which an XLA
-        # rematerialization could compute with different rounding)
-        tqn = jnp.where(emit != 0, _min3(bt1x, bt1y, bt1z), tqn)
+        # resume key: lanes the DDA iteration cap stopped mid-brick resume
+        # from their sub-brick key; finished bricks resume from the brick
+        # exit, derived from the SAME bt1 planes the DDA kernel consumes
+        # (not the kernel-internal min3, which an XLA rematerialization
+        # could compute with different rounding)
+        tqn = jnp.where(
+            emit != 0,
+            jnp.where(more != 0, tq_resume, _min3(bt1x, bt1y, bt1z)),
+            tqn,
+        )
         newhit = (act != 0) & (hit != 0)
         t_c = jnp.where(newhit, t_hit, pick(t_out))
         nm_c = jnp.where(newhit, nmaj, pick(nmaj_out))
@@ -554,16 +760,15 @@ def _intersect_padded(
     R = ro.shape[0]
     nb = R // RB
     cap = cap_blocks if cap_blocks else max(nb // 4, 1)
-
-    def blk(v):
-        return v.reshape(nb, RB)
-
-    rays_b = [blk(ro[:, 0]), blk(ro[:, 1]), blk(ro[:, 2]),
-              blk(rd[:, 0]), blk(rd[:, 1]), blk(rd[:, 2])]
+    rays_b = [
+        x.reshape(nb, RB)
+        for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
+    ]
     sf = jnp.concatenate(
         [lower.astype(jnp.float32), upper.astype(jnp.float32),
          jnp.zeros(2, jnp.float32)]
     ).reshape(1, 8)
+
     body = _make_round(
         bricks, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
@@ -571,12 +776,10 @@ def _intersect_padded(
     )
 
     def cond(st):
-        it, resolved, *_ = st
-        return (it < max_rounds) & jnp.any(resolved == 0)
+        return (st[0] < max_rounds) & jnp.any(st[1] == 0)
 
-    _, _, _, t_out, nmaj_out, vidx_out = jax.lax.while_loop(
-        cond, body, _init_state(nb)
-    )
+    st = jax.lax.while_loop(cond, body, _init_state(nb))
+    _, _, _, t_out, nmaj_out, vidx_out = st
     return (
         t_out.reshape(R), nmaj_out.reshape(R), vidx_out.reshape(R).astype(U32)
     )
@@ -599,12 +802,10 @@ def _intersect_padded_eager(
     R = ro.shape[0]
     nb = R // RB
     cap = cap_blocks if cap_blocks else max(nb // 4, 1)
-
-    def blk(v):
-        return v.reshape(nb, RB)
-
-    rays_b = [blk(ro[:, 0]), blk(ro[:, 1]), blk(ro[:, 2]),
-              blk(rd[:, 0]), blk(rd[:, 1]), blk(rd[:, 2])]
+    rays_b = [
+        x.reshape(nb, RB)
+        for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
+    ]
     sf = jnp.concatenate(
         [lower.astype(jnp.float32), upper.astype(jnp.float32),
          jnp.zeros(2, jnp.float32)]
@@ -652,7 +853,10 @@ def hako_args(tree: HakoTree):
           tree.root_mask_hi & _MASK16, tree.root_mask_hi >> 16,
           0, 0, 0, 0]], I32,
     )
-    level_rows = tuple(t.shape[0] for t in tree.levels)
+    level_rows = tuple(
+        ("flat", t.shape[0]) if t.shape[1] == 16 else ("split", t.shape[0])
+        for t in tree.levels
+    )
     # kernel A consumes tables root-down: level T-1 first
     tabs = tuple(reversed(tree.levels))
     rows_rootdown = tuple(reversed(level_rows))

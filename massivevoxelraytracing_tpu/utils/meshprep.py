@@ -41,6 +41,14 @@ def split_to_cap(verts, colors, emissions, origin, dps, grid_res: int, cap: int)
     colors = np.asarray(colors, F).reshape(-1, 3, 3)
     emissions = np.asarray(emissions, F).reshape(-1, 3, 3)
 
+    from . import native
+
+    out = native.split_to_cap(
+        verts, colors, emissions, origin, dps, grid_res, cap
+    )
+    if out is not None:
+        return out
+
     for _ in range(64):  # bounded: each pass halves the longest edge
         ext = bbox_extent_in_voxels(verts, origin, dps, grid_res)
         big = ext > cap

@@ -42,6 +42,7 @@ def get_lib():
         lib.mvrt_hdr_decode.restype = ctypes.c_int32
         lib.mvrt_obj_parse.restype = ctypes.c_int64
         lib.mvrt_murmur3_32.restype = ctypes.c_uint32
+        lib.mvrt_split_to_cap.restype = ctypes.c_int64
         _lib = lib
     except Exception as e:
         import sys
@@ -150,6 +151,41 @@ def morton_decode(m) -> tuple | None:
         _ptr(y, ctypes.c_uint32), _ptr(z, ctypes.c_uint32),
     )
     return x, y, z
+
+
+def split_to_cap(verts, colors, emissions, origin, dps, grid_res: int,
+                 cap: int) -> tuple | None:
+    """Longest-edge bisection until every triangle's voxel bbox fits cap^3
+    (worklist form in C++; the numpy fallback reallocates per round)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(verts, np.float32).reshape(-1, 9)
+    c = np.ascontiguousarray(colors, np.float32).reshape(-1, 9)
+    e = np.ascontiguousarray(emissions, np.float32).reshape(-1, 9)
+    org = np.ascontiguousarray(origin, np.float32)
+    n = len(v)
+    args = (
+        _ptr(v, ctypes.c_float), _ptr(c, ctypes.c_float),
+        _ptr(e, ctypes.c_float), ctypes.c_int64(n),
+        _ptr(org, ctypes.c_float), ctypes.c_float(dps),
+        ctypes.c_int64(grid_res), ctypes.c_int64(cap),
+    )
+    # one sizing pass, then the fill pass (worklist recomputes; both are
+    # cheap next to the per-round numpy reallocation this replaces)
+    total = lib.mvrt_split_to_cap(*args, None, None, None, ctypes.c_int64(0))
+    if total < 0:
+        return None
+    ov = np.empty((total, 9), np.float32)
+    oc = np.empty((total, 9), np.float32)
+    oe = np.empty((total, 9), np.float32)
+    n2 = lib.mvrt_split_to_cap(
+        *args, _ptr(ov, ctypes.c_float), _ptr(oc, ctypes.c_float),
+        _ptr(oe, ctypes.c_float), ctypes.c_int64(total),
+    )
+    if n2 != total:
+        return None
+    return (ov.reshape(-1, 3, 3), oc.reshape(-1, 3, 3), oe.reshape(-1, 3, 3))
 
 
 def murmur3_32(data: bytes, seed: int = 0) -> int | None:

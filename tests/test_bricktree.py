@@ -46,12 +46,10 @@ def test_brick_equals_octree(grid_res):
     rd = RNG.normal(size=(n, 3)).astype(np.float32)
     t1, m1, v1 = (np.asarray(x) for x in traverse2.intersect_octree2(oct_tree, ro, rd, block=256))
     t2, m2, v2 = (np.asarray(x) for x in bricktree.intersect_bricktree(brick, ro, rd, block=256))
-    hit1 = t1 < 1e37
-    hit2 = t2 < 1e37
-    agree = (hit1 == hit2) & (
-        ~hit1 | (np.isclose(t1, t2, rtol=1e-5, atol=1e-7) & (v1 == v2) & (m1 == m2))
-    )
-    assert agree.mean() > 0.995, f"{(~agree).sum()}/{n} disagree"
+    from tiecheck import classify_vs_each_other
+
+    n_tie = classify_vs_each_other(t1, m1, v1, t2, m2, v2, rtol=1e-5)
+    assert n_tie <= n // 100, f"{n_tie}/{n} ties is implausibly many"
 
 
 def test_brick_vidx_is_rank():

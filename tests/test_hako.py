@@ -1,0 +1,146 @@
+"""HakoTree (fat-leaf tree + Pallas kernels, run in interpret mode on CPU):
+build round-trip against the Morton oracle, traversal against the
+brute-force AABB intersector (the repo's Embree stand-in,
+models/cpu_oracle.py), and the resume paths under forced 1-probe /
+1-DDA-iteration caps. Mirrors the reference's dual-intersector A/B culture
+(voxRT.cpp:316-323)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from massivevoxelraytracing_tpu.models import cpu_oracle
+from massivevoxelraytracing_tpu.ops import hako, hako_kernels, morton, octree
+
+RNG = np.random.default_rng(7)
+
+
+def random_voxels(grid_res, n):
+    c = RNG.integers(0, grid_res, size=(n, 3)).astype(np.uint32)
+    return np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+
+
+def make_tree(m_u64, grid_res, dps):
+    n = len(m_u64)
+    pad = octree.bucket(n)
+    hi, lo = morton.np_pack_pair(m_u64)
+    hi = np.concatenate([hi, np.full(pad - n, 0xFFFFFFFF, np.uint32)])
+    lo = np.concatenate([lo, np.full(pad - n, 0xFFFFFFFF, np.uint32)])
+    return hako.build_hako(
+        jnp.asarray(hi), jnp.asarray(lo), n, grid_res,
+        lower=np.zeros(3, np.float32), dps=dps,
+    )
+
+
+def oracle_all(m_u64, dps, ro, rd):
+    t = np.empty(len(ro), np.float32)
+    nm = np.empty(len(ro), np.int64)
+    vi = np.empty(len(ro), np.int64)
+    for i in range(len(ro)):
+        t[i], nm[i], vi[i] = cpu_oracle.intersect_brute_force(
+            m_u64, (0, 0, 0), dps, ro[i], rd[i]
+        )
+    return t, nm, vi
+
+
+def compare_vs_oracle(tree, m_u64, dps, ro, rd, require_exact=True):
+    t, nm, vi = (np.asarray(x) for x in hako_kernels.intersect_hako(tree, ro, rd))
+    to, nmo, vio = oracle_all(m_u64, dps, ro, rd)
+    hit = t < 1e37
+    hito = np.isfinite(to)
+    assert (hit == hito).all(), f"{(hit != hito).sum()} hit-mask mismatches"
+    h = hit
+    if h.any():
+        np.testing.assert_allclose(t[h], to[h], rtol=1e-5, atol=1e-7)
+        assert (vi[h] == vio[h]).all(), f"{(vi[h] != vio[h]).sum()} vidx mismatches"
+        # face axis can legitimately differ only at exact edge/corner ties:
+        # classify every one (round-1 used an unclassified 0.2% budget)
+        if require_exact:
+            from tiecheck import assert_face_tie
+
+            for i in np.nonzero(h & (nm != nmo))[0]:
+                assert_face_tie(
+                    i, m_u64[int(vi[i])], np.zeros(3, np.float32), dps,
+                    ro[i], rd[i],
+                )
+    return hit
+
+
+@pytest.mark.parametrize("grid_res", [64, 256])
+def test_hako_build_roundtrip(grid_res):
+    m = random_voxels(grid_res, grid_res * 16)
+    tree = make_tree(m, grid_res, 1.0 / grid_res)
+    assert tree.n_voxels == len(m)
+    got = hako.voxels_from_tree(tree)
+    np.testing.assert_array_equal(got, m)
+
+
+@pytest.mark.parametrize("grid_res", [64, 256])
+def test_hako_matches_brute_force(grid_res):
+    dps = 1.0 / grid_res
+    m = random_voxels(grid_res, grid_res * grid_res // 2)
+    tree = make_tree(m, grid_res, dps)
+    n = 256
+    ro = RNG.uniform(-1.0, 2.0, (n, 3)).astype(np.float32)
+    rd = RNG.normal(size=(n, 3)).astype(np.float32)
+    # include axis-parallel and from-inside rays (off exact cell boundaries:
+    # a ray along a voxel EDGE is a zero-measure touch that the strict
+    # en < ex parametric walk excludes, like the reference's traversal,
+    # while the non-strict slab-test oracle includes it)
+    ro[:8] = np.array([0.503, 0.497, -2.0], np.float32)
+    rd[:2] = np.array([0.0, 0.0, 1.0], np.float32)
+    rd[2:4] = np.array([0.0, 1.0, 0.0], np.float32)[None]
+    ro[4:8] = np.array([0.503, 0.497, 0.501], np.float32)
+    hit = compare_vs_oracle(tree, m, dps, ro, rd)
+    assert hit.any() and (~hit).any()
+
+
+def test_hako_shadow_any_hit():
+    grid_res = 64
+    dps = 1.0 / grid_res
+    m = random_voxels(grid_res, 2048)
+    tree = make_tree(m, grid_res, dps)
+    n = 256
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    rd = RNG.normal(size=(n, 3)).astype(np.float32)
+    t, _, _ = (np.asarray(x) for x in hako_kernels.intersect_hako(tree, ro, rd))
+    ts, _, _ = (np.asarray(x) for x in
+                hako_kernels.intersect_hako(tree, ro, rd, shadow=True))
+    # shadow mode is the same in-order walk minus rank math: same hits
+    np.testing.assert_array_equal(t < 1e37, ts < 1e37)
+    h = t < 1e37
+    np.testing.assert_allclose(t[h], ts[h], rtol=1e-6)
+
+
+def test_hako_capped_probes_and_iters_resume(monkeypatch):
+    """Forcing 1 probe per kernel-A call and 1 sub-brick visit per kernel-B
+    call exercises every resume path; results must not change."""
+    grid_res = 256
+    dps = 1.0 / grid_res
+    m = random_voxels(grid_res, 8000)
+    tree = make_tree(m, grid_res, dps)
+    n = 128
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    rd = RNG.normal(size=(n, 3)).astype(np.float32)
+    ref = [np.asarray(x) for x in hako_kernels.intersect_hako(tree, ro, rd)]
+    monkeypatch.setattr(hako_kernels, "MAX_PROBES", 1)
+    monkeypatch.setattr(hako_kernels, "MAX_DDA_ITERS", 1)
+    got = [np.asarray(x) for x in hako_kernels.intersect_hako(tree, ro, rd)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_hako_single_top_level():
+    # grid 64 = 16 * 4: T == 1, no VMEM level tables at all
+    assert hako.top_levels_for(64) == 1
+    m = random_voxels(64, 500)
+    tree = make_tree(m, 64, 1.0 / 64)
+    assert tree.levels == ()
+
+
+def test_hako_memory_is_compact():
+    grid_res = 256
+    m = random_voxels(grid_res, 30000)
+    tree = make_tree(m, grid_res, 1.0 / grid_res)
+    # fat bricks: 656 B per occupied 16^3 region (pow2-padded brick array)
+    assert tree.memory_bytes() <= 2 * 656 * max(tree.n_bricks, 1) + 1 << 20

@@ -49,28 +49,41 @@ def compare_vs_bruteforce(m, grid_res, dps, lower, n_rays=400, dag=True):
     nmaj = np.asarray(nmaj)
     vidx = np.asarray(vidx)
 
-    n_mismatch = 0
+    from tiecheck import assert_face_tie, classify_vs_oracle
+
+    n_classified = 0
     for i in range(n_rays):
         to, no, vo = cpu_oracle.intersect_brute_force(m, lower, dps, ro[i], rd[i])
         dev_hit = t[i] < 1e37
         ora_hit = np.isfinite(to)
-        if dev_hit != ora_hit:
-            n_mismatch += 1
+        exact = (
+            dev_hit == ora_hit
+            and (not dev_hit
+                 or (np.isclose(t[i], to, rtol=2e-5, atol=1e-6)
+                     and vidx[i] == vo and nmaj[i] == no))
+        )
+        if exact:
             continue
-        if dev_hit:
-            if not np.isclose(t[i], to, rtol=2e-5, atol=1e-6):
-                n_mismatch += 1
-            elif vidx[i] != vo or nmaj[i] != no:
-                n_mismatch += 1
-    return n_mismatch, n_rays
+        n_classified += 1
+        if (dev_hit and ora_hit and vidx[i] == vo
+                and np.isclose(t[i], to, rtol=2e-5, atol=1e-6)):
+            # same voxel, same t, different face: must be an axis tie
+            assert_face_tie(i, m[int(vo)], lower, dps, ro[i], rd[i])
+        else:
+            classify_vs_oracle(
+                i, m, lower, dps, ro[i], rd[i], t[i], vidx[i], to, vo
+            )
+    return n_classified, n_rays
 
 
 @pytest.mark.parametrize("grid_res", [8, 16, 64])
 def test_traversal_matches_bruteforce(grid_res):
     dps = 1.0 / grid_res
     m = random_voxels(grid_res, grid_res * grid_res // 2)
+    # every single disagreement was classified as a t-tie / grazing touch
+    # inside compare_vs_bruteforce (or it raised); bound their count too
     bad, n = compare_vs_bruteforce(m, grid_res, dps, (0.0, 0.0, 0.0))
-    assert bad <= max(1, n // 200), f"{bad}/{n} mismatches"
+    assert bad <= max(2, n // 100), f"{bad}/{n} ties is implausibly many"
 
 
 def test_traversal_dag_equals_naive():

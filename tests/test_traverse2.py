@@ -40,11 +40,12 @@ def test_v2_equals_v1(grid_res):
     rd = RNG.normal(size=(n, 3)).astype(np.float32)
     t1, m1, v1 = (np.asarray(x) for x in traverse.intersect_octree(tree, ro, rd))
     t2, m2, v2 = (np.asarray(x) for x in traverse2.intersect_octree2(tree, ro, rd, block=256))
-    hit1 = t1 < 1e37
-    hit2 = t2 < 1e37
-    # identical math modulo tie-order: demand near-total agreement
-    agree = (hit1 == hit2) & (~hit1 | (np.isclose(t1, t2, rtol=1e-6) & (v1 == v2) & (m1 == m2)))
-    assert agree.mean() > 0.995, f"{(~agree).sum()}/{n} disagree"
+    # identical math modulo tie-order: every disagreement must prove it is
+    # an exact t-tie (tiecheck replaces round-1's unclassified 0.5% budget)
+    from tiecheck import classify_vs_each_other
+
+    n_tie = classify_vs_each_other(t1, m1, v1, t2, m2, v2, rtol=1e-6)
+    assert n_tie <= n // 100, f"{n_tie}/{n} ties is implausibly many"
 
 
 def test_v2_axis_probes():

@@ -182,3 +182,41 @@ def test_count_matches_emit():
     assert n_dumped == int(np.asarray(cands["valid"]).sum())
     out = voxelize.sort_and_unique(cands)
     assert int(out["n_unique"]) <= n_dumped
+
+
+def test_native_split_matches_numpy():
+    """The C++ worklist split must produce the same triangle multiset as the
+    numpy per-round bisection (order may differ; voxel sets are identical
+    after sort+unique either way)."""
+    from massivevoxelraytracing_tpu.utils import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no native lib")
+    grid_res = 128
+    origin = np.array([-1.0, -1.0, -1.0], np.float32)
+    dps = np.float32(2.0 / grid_res)
+    tri = meshgen.random_soup(200, seed=11, scale=0.9)
+    col = np.random.default_rng(3).uniform(0, 1, tri.shape).astype(np.float32)
+    emi = np.random.default_rng(4).uniform(0, 1, tri.shape).astype(np.float32)
+    nv, nc, ne = native.split_to_cap(tri, col, emi, origin, dps, grid_res, 4)
+
+    # numpy reference: call the round-based fallback by stubbing native out
+    import massivevoxelraytracing_tpu.utils.meshprep as mp
+
+    orig = native.split_to_cap
+    try:
+        native.split_to_cap = lambda *a, **k: None
+        pv, pc, pe = mp.split_to_cap(tri, col, emi, origin, dps, grid_res, 4)
+    finally:
+        native.split_to_cap = orig
+    assert len(nv) == len(pv)
+    key_n = np.lexsort(nv.reshape(len(nv), -1).T[::-1])
+    key_p = np.lexsort(pv.reshape(len(pv), -1).T[::-1])
+    np.testing.assert_array_equal(
+        nv.reshape(len(nv), -1)[key_n], pv.reshape(len(pv), -1)[key_p]
+    )
+    np.testing.assert_array_equal(
+        nc.reshape(len(nc), -1)[key_n], pc.reshape(len(pc), -1)[key_p]
+    )
