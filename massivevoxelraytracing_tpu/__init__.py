@@ -6,8 +6,10 @@ reference renderer (Ushio/MassiveVoxelRayTracing): Schwarz-style conservative /
 (SVO/DAG) construction, Revelles-style parametric octree traversal, and a
 progressive diffuse path tracer with PMJ(0,2) sampling and HDR-environment
 importance sampling -- all designed TPU-first: sorted/segmented XLA array ops
-replace atomics and lock-free hash tables, and the traversal inner loop is a
-vectorized lock-step state machine over ray packets.
+replace atomics and lock-free hash tables, and the traversal inner loop runs
+as Pallas/Mosaic kernels over a fat-leaf HakoTree (ops/hako_kernels.py; the
+pure-XLA lock-step state machines over octree/bricktree remain as the CPU and
+oracle paths).
 
 Layer map (mirrors SURVEY.md section 1 of the reference):
   ops/       L0-L1: math, morton, hashing, rng, voxelizer, octree build,

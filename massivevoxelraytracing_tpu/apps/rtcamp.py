@@ -64,8 +64,6 @@ def main(argv=None):
     ap.add_argument("--out", default="out/anim")
     args = ap.parse_args(argv)
     if args.accel is None:
-        import jax
-
         args.accel = "hako" if jax.default_backend() == "tpu" else "brick"
 
     begin, end = args.frame_range or (0, args.frames)

@@ -23,6 +23,14 @@ def load_scene(name: str):
         return tri, col, emi
     if name.endswith(".npz"):
         return objio.load_npz_frame(name, 0)
+    if name.endswith(".abc"):
+        from ..utils.abcio import AbcArchive
+
+        ar = AbcArchive(name)
+        try:
+            return ar.read_flat(0)
+        finally:
+            ar.close()
 
     if name == "torus":
         tri = meshgen.torus_knot(n_seg=384, n_ring=28)
@@ -40,10 +48,22 @@ def load_scene(name: str):
     return tri, col, emi
 
 
+_ABC_CACHE: dict = {}
+
+
 def animated_scene(name: str, frame: int, total_frames: int):
-    """Procedural animation: a deforming mesh (stand-in for the Alembic shot).
+    """Per-frame scene read: an Alembic archive (the reference's production
+    input, RTCamp.cpp:95-109) or a procedural deforming mesh.
 
     Returns (verts, colors, emissions)."""
+    if name.endswith(".abc"):
+        from ..utils.abcio import AbcArchive
+
+        if name not in _ABC_CACHE:
+            _ABC_CACHE[name] = AbcArchive(name)
+        return _ABC_CACHE[name].read_flat(frame)
+    if name.endswith(".npz"):
+        return objio.load_npz_frame(name, frame)
     t = frame / max(total_frames, 1)
     if name == "torus":
         tri = meshgen.torus_knot(

@@ -22,6 +22,8 @@ from ..utils import runtime
 
 runtime.setup()
 
+import jax  # noqa: E402
+
 from ..config import EngineConfig  # noqa: E402
 from ..models import scene  # noqa: E402
 from ..models.pathtracer import PathTracer  # noqa: E402
@@ -54,8 +56,6 @@ def main(argv=None):
     ap.add_argument("--out", default="out/pt")
     args = ap.parse_args(argv)
     if args.accel is None:
-        import jax
-
         args.accel = "hako" if jax.default_backend() == "tpu" else "brick"
     os.makedirs(args.out, exist_ok=True)
 
@@ -111,7 +111,6 @@ def main(argv=None):
         start_step = pt.steps
         print(f"[voxpt] resumed at {start_step * 16} spp")
 
-    import jax
 
     prof = runtime.profile(args.profile)
     prof.__enter__()

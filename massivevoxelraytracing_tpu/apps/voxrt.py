@@ -40,6 +40,13 @@ def main(argv=None):
     ap.add_argument("--mode", choices=["normal", "color"], default="normal")
     ap.add_argument("--six-separating", type=int, default=1)
     ap.add_argument("--dag", type=int, default=1)
+    ap.add_argument("--wire", action="store_true",
+                    help="burn a depth-tested voxel wireframe overlay into "
+                    "the output (drawVoxelsWire equivalent)")
+    ap.add_argument("--wire-max", type=int, default=4096,
+                    help="max voxels drawn by --wire")
+    ap.add_argument("--oracle-pixels", type=int, default=2048,
+                    help="pixels A/B'd by --oracle (full frame if smaller)")
     ap.add_argument("--oracle", action="store_true",
                     help="A/B against the brute-force intersector")
     ap.add_argument(
@@ -52,8 +59,6 @@ def main(argv=None):
     ap.add_argument("--out", default="out")
     args = ap.parse_args(argv)
     if args.accel is None:
-        import jax
-
         args.accel = "hako" if jax.default_backend() == "tpu" else "brick"
 
     os.makedirs(args.out, exist_ok=True)
@@ -93,14 +98,37 @@ def main(argv=None):
         f"build {t_build*1e3:.1f} ms / render {t_render*1e3:.1f} ms -> {out_path}"
     )
 
-    if args.oracle:
-        # Rebuild the voxel list host-side and compare a sample of pixels
+    if args.wire:
+        # drawVoxelsWire equivalent (voxUtil.hpp:79-127): depth-tested voxel
+        # wireframe burned into the PNG
+        from ..utils import wireframe
+
         m64, _, _ = cpu_oracle.voxelize_mesh(
             tri, origin, dps, args.res, True, colors, emissions
         )
-        rng = np.random.default_rng(0)
-        n_check = 200
-        sel = rng.choice(args.width * args.height, n_check, replace=False)
+        img = np.array(img)  # np.asarray over a device buffer is read-only
+        wireframe.draw_voxels_wire(
+            img, np.asarray(depth), cam, m64, lo, dps,
+            max_voxels=args.wire_max,
+        )
+        wire_path = os.path.join(args.out, "voxrt_wire.png")
+        png.write(wire_path, img)
+        print(f"[voxrt] wire overlay -> {wire_path}")
+
+    if args.oracle:
+        # Rebuild the voxel list host-side and A/B pixels against the
+        # brute-force slab oracle: the FULL frame when small enough,
+        # otherwise a large random sample (round-1 checked only 200)
+        m64, _, _ = cpu_oracle.voxelize_mesh(
+            tri, origin, dps, args.res, True, colors, emissions
+        )
+        n_pix = args.width * args.height
+        if n_pix <= args.oracle_pixels:
+            sel = np.arange(n_pix)
+        else:
+            rng = np.random.default_rng(0)
+            sel = rng.choice(n_pix, args.oracle_pixels, replace=False)
+        n_check = len(sel)
         ro, rd = _pixel_rays(cam, args.width, args.height, sel)
         dn = np.asarray(depth).reshape(-1)[sel]
         bad = 0

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 
@@ -79,13 +79,3 @@ def make_sharded_pt_step(mesh: Mesh, *, stack_depth: int,
           tan_half_fovy, lens_r, focus, accum, spp_base)
 
     return jax.jit(step)
-
-
-def shard_rays(mesh: Mesh, ro, rd, accum):
-    """Place ray arrays with a 'dp' sharding (rows must divide dp size)."""
-    s = NamedSharding(mesh, P("dp"))
-    return (
-        jax.device_put(ro, s),
-        jax.device_put(rd, s),
-        jax.device_put(accum, s),
-    )
