@@ -35,7 +35,7 @@ from ..ops import hdri as hdri_ops
 from ..ops import rng as rng_ops
 from ..ops import sampling, traverse
 from . import accel as accel_lib
-from ..ops.bits import U32, u32
+from ..ops.bits import I32, U32, u32
 from ..ops.hashing import hash_combine
 from ..ops.octree import VoxelOctree
 from ..ops.voxelize import rgb8_to_f32
@@ -43,6 +43,7 @@ from ..ops.voxelize import rgb8_to_f32
 MAX_BOUNCES = 8
 N_BATCH_SPP = 16  # nBatchSpp (voxKernel.cu:631)
 RAY_PACKET = 1 << 21  # max (pixel x spp) rays per pt_sample dispatch
+COMPACT_MIN_LANES = 1 << 14  # inter-bounce compaction pays off above this
 
 
 def _sample2d(table, spp, dim, stream):
@@ -173,9 +174,59 @@ def pt_sample(
 
     n_extra = 1 if (extra_implicit and has_emission) else 0
 
+    # --- inter-bounce compaction (SURVEY.md section 7.7: "sort/partition
+    # rays by aliveness -- StreamCompaction's role reappears here", plus the
+    # octant re-sorting of section 2.8): lockstep traversal blocks pay for
+    # their slowest lane, so from bounce 1 on, lanes are permuted so that
+    # dead lanes pool into blocks that retire in one probe round and alive
+    # lanes group by direction octant for coherent walks. Pure permutation:
+    # every per-lane quantity (PMJ stream/spp, throughput, radiance) rides
+    # along, so the result is bit-identical to the unpermuted loop; one
+    # scatter at the end restores original lane order.
+    compact = use_pmj and R >= COMPACT_MIN_LANES
+    orig = jnp.arange(R, dtype=jnp.uint32)
+
+    def _bits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    def _f32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
     # --- bounce loop (static unroll; all ops masked by `alive`)
     for depth in range(max_bounces):
         alive = ~miss
+        if compact and depth >= 1:
+            octant = (
+                (rd[:, 0] < 0).astype(jnp.uint32)
+                + 2 * (rd[:, 1] < 0).astype(jnp.uint32)
+                + 4 * (rd[:, 2] < 0).astype(jnp.uint32)
+            )
+            key = jnp.where(alive, octant, jnp.uint32(8))
+            _, order = jax.lax.sort_key_val(
+                key, jnp.arange(R, dtype=jnp.uint32)
+            )
+            packed = jnp.stack(
+                [
+                    stream, spp, orig, vidx, u32(nmaj + 1),
+                    _bits(t),
+                    _bits(ro[:, 0]), _bits(ro[:, 1]), _bits(ro[:, 2]),
+                    _bits(rd[:, 0]), _bits(rd[:, 1]), _bits(rd[:, 2]),
+                    _bits(T[:, 0]), _bits(T[:, 1]), _bits(T[:, 2]),
+                    _bits(L[:, 0]), _bits(L[:, 1]), _bits(L[:, 2]),
+                ],
+                axis=1,
+            )
+            packed = jnp.take(packed, order.astype(I32), axis=0)
+            stream, spp, orig = packed[:, 0], packed[:, 1], packed[:, 2]
+            vidx = packed[:, 3]
+            nmaj = packed[:, 4].astype(I32) - 1
+            t = _f32(packed[:, 5])
+            ro = _f32(packed[:, 6:9])
+            rd = _f32(packed[:, 9:12])
+            T = _f32(packed[:, 12:15])
+            L = _f32(packed[:, 15:18])
+            miss = t >= 1e37
+            alive = ~miss
         refl = rgb8_to_f32(
             jnp.take(color_table, vidx.astype(jnp.int32), mode="clip")
         )
@@ -233,6 +284,9 @@ def pt_sample(
         vidx = jnp.where(new_hit, vidx_n, vidx)
         miss = ~new_hit  # dead lanes stay dead
 
+    if compact and max_bounces >= 2:
+        # restore original lane order (orig is a permutation of [0, R))
+        L = jnp.zeros_like(L).at[orig.astype(I32)].set(L)
     return L
 
 

@@ -205,7 +205,14 @@ def _build_top_level(t_m, n_in, *, p_out: int):
     )
 
 
-FLAT_TABLE_MAX = 2048  # levels with <= this many nodes use the flat format
+# Node-table formats by level size (kernel A picks the fetch path by the
+# table SHAPE; measured on-chip, scripts/hako_shell_micro.py: the one-hot
+# MXU gather costs ~13 us/block even for a 56-node level -- the chunked
+# small-matmul + relayout glue dominates -- while a fold_select over SMEM
+# scalars is ~0.5 us and a per-row lane-gather ~3 us):
+SMEM_TABLE_MAX = 64    # (1, 192) u32 in SMEM: scalar fold_select
+TAA_TABLE_MAX = 2048   # (48, 128) u32 in VMEM: row taa + fold_select
+FLAT_TABLE_MAX = 0     # [n_pad, 16] f32 composite one-hot (off: superseded)
 
 
 def _table_segs(mask_lo, mask_hi, base):
@@ -228,6 +235,29 @@ def _byte_split_table(mask_lo, mask_hi, base) -> np.ndarray:
     for k, s in enumerate(_table_segs(mask_lo, mask_hi, base)):
         tab[r, k * 128 + j] = s.astype(np.float32)
     return tab
+
+
+def _smem_table(mask_lo, mask_hi, base) -> np.ndarray:
+    """Host: u32 [1, 192] SMEM table; col i / 64+i / 128+i = node i's
+    (mask_lo, mask_hi, base)."""
+    n = len(mask_lo)
+    t = np.zeros((1, 192), np.uint32)
+    t[0, :n] = mask_lo
+    t[0, 64:64 + n] = mask_hi
+    t[0, 128:128 + n] = base
+    return t
+
+
+def _taa_table(mask_lo, mask_hi, base) -> np.ndarray:
+    """Host: u32 [48, 128] VMEM table; node n of segment k at
+    [16 * k + (n >> 7), n & 127]."""
+    n = len(mask_lo)
+    t = np.zeros((48, 128), np.uint32)
+    r = np.arange(n) >> 7
+    j = np.arange(n) & 127
+    for k, s in enumerate((mask_lo, mask_hi, base)):
+        t[16 * k + r, j] = s
+    return t
 
 
 def _flat_table(mask_lo, mask_hi, base) -> np.ndarray:
@@ -279,7 +309,14 @@ def build_hako(
             ml = np.asarray(lv["mask_lo"])[:n_l]
             mh = np.asarray(lv["mask_hi"])[:n_l]
             bs = np.asarray(lv["base"])[:n_l]
-            make = _flat_table if n_l <= FLAT_TABLE_MAX else _byte_split_table
+            if n_l <= SMEM_TABLE_MAX:
+                make = _smem_table
+            elif n_l <= TAA_TABLE_MAX:
+                make = _taa_table
+            elif n_l <= FLAT_TABLE_MAX:
+                make = _flat_table
+            else:
+                make = _byte_split_table
             levels.append(jnp.asarray(make(ml, mh, bs)))
             n_per_level.append(n_l)
         t_m, n_in = lv["t_m"], int(counts[l])

@@ -276,12 +276,67 @@ def _gather_node_flat(tab, n_pad: int, idx):
     return mask_lo, mask_hi, base
 
 
-def _gather_node_any(tab, form, idx):
-    """form: ('flat', n_pad) or ('split', rows) -- static per level."""
+def _gather_node_smem(ref, idx):
+    """Node fetch from a (1, 192) u32 SMEM table (levels <= 64 nodes):
+    pure fold_select over scalar reads -- ~0.5 us/block vs ~13 us for the
+    one-hot MXU path (scripts/hako_shell_micro.py)."""
+    c = jnp.clip(idx.astype(I32), 0, 63)
+    ml = _fold_select([ref[0, i] for i in range(64)], c, 6)
+    mh = _fold_select([ref[0, 64 + i] for i in range(64)], c, 6)
+    bs = _fold_select([ref[0, 128 + i] for i in range(64)], c, 6)
+    return _u(ml), _u(mh), bs.astype(I32)
+
+
+def _gather_node_taa(ref, rows_used: int, idx):
+    """Node fetch from a (48, 128) u32 VMEM table (levels <= 2048 nodes):
+    per-row lane-gather (take_along_axis along lanes, the single form
+    Mosaic lowers) + fold_select over the row index."""
+    tab = ref[:]
+    c = idx.astype(I32)
+    r = jnp.clip(c >> 7, 0, max(rows_used - 1, 0))
+    j = c & 127
+    outs = []
+    n_pow2 = 1
+    nb = 0
+    while n_pow2 < rows_used:
+        n_pow2 *= 2
+        nb += 1
+    for k in range(3):
+        vals = []
+        for rr in range(rows_used):
+            row = tab[16 * k + rr:16 * k + rr + 1, :]  # [1, 128]
+            b = jnp.broadcast_to(row, j.shape)
+            vals.append(jnp.take_along_axis(b, j, axis=1))
+        while len(vals) < n_pow2:
+            vals.append(vals[0])
+        outs.append(_fold_select(vals, r, nb) if nb else vals[0])
+    return _u(outs[0]), _u(outs[1]), outs[2].astype(I32)
+
+
+def _gather_node_any(tab_ref, form, idx):
+    """form: ('smem', 64) | ('taa', rows_used) | ('flat', n_pad) |
+    ('split', rows) -- static per level. tab_ref is the kernel REF (memory
+    space depends on the form)."""
     kind, dim = form
+    if kind == "smem":
+        return _gather_node_smem(tab_ref, idx)
+    if kind == "taa":
+        return _gather_node_taa(tab_ref, dim, idx)
     if kind == "flat":
-        return _gather_node_flat(tab, dim, idx)
-    return _gather_node(tab, dim, idx)
+        return _gather_node_flat(tab_ref[:], dim, idx)
+    return _gather_node(tab_ref[:], dim, idx)
+
+
+def tab_spec(form):
+    """BlockSpec for a level table by its (kind, dim) form."""
+    kind, dim = form
+    if kind == "smem":
+        return pl.BlockSpec((1, 192), _rep, memory_space=pltpu.SMEM)
+    if kind == "taa":
+        return pl.BlockSpec((48, 128), _rep, memory_space=pltpu.VMEM)
+    if kind == "flat":
+        return pl.BlockSpec((dim, 16), _rep, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((dim, N_TAB_SEG * 128), _rep, memory_space=pltpu.VMEM)
 
 
 def _gather_node(tab, rows_n: int, idx):
@@ -436,7 +491,7 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
                 else:
                     childc = jnp.where(ok, child, 0)
                     mask_lo, mask_hi, base = _stable(_gather_node_any(
-                        tabs[depth][:], level_rows[depth], childc
+                        tabs[depth], level_rows[depth], childc
                     ), stable)
                     cur = [nt1x, nt1y, nt1z]
                     dc = [dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25]
@@ -627,13 +682,7 @@ def _make_round(
 
     smem = pl.BlockSpec((1, 8), _rep, memory_space=pltpu.SMEM)
     vblk = pl.BlockSpec((S_BLK, 128), _blk, memory_space=pltpu.VMEM)
-    tab_specs = [
-        pl.BlockSpec(
-            (dim, 16) if kind == "flat" else (dim, N_TAB_SEG * 128),
-            _rep, memory_space=pltpu.VMEM,
-        )
-        for kind, dim in level_rows
-    ]
+    tab_specs = [tab_spec(f) for f in level_rows]
 
     a_call = pl.pallas_call(
         _make_kernel_a(T, level_rows, stable=interpret),
@@ -853,10 +902,17 @@ def hako_args(tree: HakoTree):
           tree.root_mask_hi & _MASK16, tree.root_mask_hi >> 16,
           0, 0, 0, 0]], I32,
     )
-    level_rows = tuple(
-        ("flat", t.shape[0]) if t.shape[1] == 16 else ("split", t.shape[0])
-        for t in tree.levels
-    )
+    level_rows = []
+    for tarr, n_l in zip(tree.levels, tree.n_per_level):
+        if tarr.shape == (1, 192):
+            level_rows.append(("smem", 64))
+        elif tarr.shape == (48, 128):
+            level_rows.append(("taa", max(-(-n_l // 128), 1)))
+        elif tarr.shape[1] == 16:
+            level_rows.append(("flat", tarr.shape[0]))
+        else:
+            level_rows.append(("split", tarr.shape[0]))
+    level_rows = tuple(level_rows)
     # kernel A consumes tables root-down: level T-1 first
     tabs = tuple(reversed(tree.levels))
     rows_rootdown = tuple(reversed(level_rows))

@@ -24,11 +24,14 @@ from massivevoxelraytracing_tpu.ops import hako_kernels as hk  # noqa: E402
 from massivevoxelraytracing_tpu.utils import meshgen  # noqa: E402
 
 
-def timeit(fn, iters=8):
-    out = jax.block_until_ready(fn())
+def timeit(fn, iters=16):
+    """Pipelined: queue all calls, sync once -- a per-call block_until_ready
+    over the tunnel adds ~30 ms of round-trip latency per call, which buries
+    the real kernel cost."""
+    jax.block_until_ready(fn())
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.block_until_ready(fn())
+    outs = [fn() for _ in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
@@ -84,13 +87,7 @@ def main():
 
     smem = pl.BlockSpec((1, 8), hk._rep, memory_space=pltpu.SMEM)
     vblk = pl.BlockSpec((hk.S_BLK, 128), hk._blk, memory_space=pltpu.VMEM)
-    tab_specs = [
-        pl.BlockSpec(
-            (dim, 16) if kind == "flat" else (dim, hk.N_TAB_SEG * 128),
-            hk._rep, memory_space=pltpu.VMEM,
-        )
-        for kind, dim in level_rows
-    ]
+    tab_specs = [hk.tab_spec(f) for f in level_rows]
     a_call = pl.pallas_call(
         hk._make_kernel_a(T, level_rows, stable=False),
         grid=(cap,),

@@ -95,6 +95,28 @@ def test_hako_matches_brute_force(grid_res):
     assert hit.any() and (~hit).any()
 
 
+def test_hako_taa_levels_match_brute_force():
+    """1024^3 tree with mid levels in the (48,128) taa table format (the
+    per-row lane-gather fetch path); 64^3/256^3 trees only exercise the
+    SMEM fold path."""
+    grid_res = 1024
+    dps = 1.0 / grid_res
+    m = random_voxels(grid_res, 1500)
+    tree = make_tree(m, grid_res, dps)
+    from massivevoxelraytracing_tpu.ops.hako_kernels import hako_args
+
+    _, (T, level_rows) = hako_args(tree)
+    assert T == 3 and any(k == "taa" for k, _ in level_rows), level_rows
+    n = 192
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    # sparse scene: aim at actual voxel centers (jittered) or nothing hits
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro + RNG.normal(size=(n, 3)) * 2e-4).astype(np.float32)
+    hit = compare_vs_oracle(tree, m, dps, ro, rd)
+    assert hit.mean() > 0.5
+
+
 def test_hako_shadow_any_hit():
     grid_res = 64
     dps = 1.0 / grid_res
