@@ -56,14 +56,16 @@ from .hako import BRICK_WORDS, N_TAB_SEG, HakoTree
 S_BLK = 16                 # sublane rows per ray block
 RB = S_BLK * 128           # 2048 rays per grid step
 _MASK16 = 0xFFFF
-MAX_PROBES = 2             # kernel A: descents per call. The probe loop runs
-                           # to the SLOWEST lane of a 2048-lane block, so high
-                           # caps multiply whole-block cost for straggler
-                           # lanes; swept on-chip (scripts/hako_sweep.py):
-                           # P=2 137 ms/frame vs P=16 2089 ms at 256^3.
-                           # Lanes needing more probes go through another
-                           # (smaller, cap-laddered) round instead.
-MAX_DDA_ITERS = 12         # kernel B: sub-brick visits per call (then t-resume)
+MAX_PROBES = 4             # kernel A: descents per call. The probe loop runs
+                           # to the SLOWEST lane of a 2048-lane block, so huge
+                           # caps multiply whole-block cost for stragglers
+                           # (P=16 measured 15-20x slower than P=2-4 at
+                           # 256^3); with the cheap smem/taa node fetch the
+                           # sweet spot moved 2 -> 4 (scripts/hako_sweep2.py:
+                           # 23.1 Mrays/s vs 21.7 at 256^3, 12.6 vs ~11 at
+                           # 1024^3). Lanes needing more probes go through
+                           # another round instead.
+MAX_DDA_ITERS = 24         # kernel B: sub-brick visits per call (then t-resume)
 
 
 def _u(x):
@@ -138,6 +140,25 @@ def _cell_of(cx, cy, cz):
 SCAN_IMPL = "walk"  # "walk" (10-slot lattice walk) or "scan" (64-cell sweep)
 
 
+def _plane(t1, dc, k, stable: bool = False):
+    """Cell-boundary plane tb[k] = t1 - dc * (4 - k) for a RUNTIME integer
+    k in [0, 4]. Affine on demand: same expression everywhere, so every
+    site reproduces the identical float, and nothing keeps 5-entry plane
+    LISTS live across the walk (the lists caused massive register spilling
+    -- the real kernels ran 40x slower than their visible arithmetic,
+    scripts/hako_kernel_micro.py calibration).
+
+    In interpret mode (stable=True) a barrier between the multiply and the
+    subtract stops XLA from FMA-contracting SOME sites and not others,
+    which would make the same (t1, dc, k) produce different floats at
+    different sites and break the strict resume/tie comparisons. Mosaic
+    compiles one kernel uniformly, so the TPU path skips it."""
+    prod = dc * (4 - k).astype(jnp.float32)
+    if stable:
+        prod = jax.lax.optimization_barrier(prod)
+    return t1 - prod
+
+
 def _scan64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
                  stable: bool = False):
     """64-cell in-order sweep (the alternative implementation of _walk64's
@@ -164,8 +185,8 @@ def _scan64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
         best_en = jnp.where(better, en, best_en)
         best_ex = jnp.where(better, ex, best_ex)
         best_c = jnp.where(better, jnp.int32(c), best_c)
-    out = _stable(tuple([best_en, best_ex, best_c] + tbx + tby + tbz), stable)
-    return out[0], out[1], out[2], list(out[3:8]), list(out[8:13]), list(out[13:18])
+    out = _stable((best_en, best_ex, best_c), stable)
+    return out[0], out[1], out[2]
 
 
 def _walk64(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
@@ -181,34 +202,39 @@ def _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
                  stable: bool = False):
     """First occupied cell (in-order) of a 4^3 node along the mirrored ray
     with cell exit strictly past max(t_q, 0). dc* = per-child-cell dt.
-    Returns (entry, exit, cell[64=none], tbx, tby, tbz) -- identical
-    contract to the 64-cell sweep it replaces, implemented as a 10-slot
-    monotone lattice walk (a ray crosses <= 3*4-2 cells of a 4^3 grid)."""
-    tbx = [t1x - dcx * (4 - k) for k in range(5)]
-    tby = [t1y - dcy * (4 - k) for k in range(5)]
-    tbz = [t1z - dcz * (4 - k) for k in range(5)]
+    Returns (entry, exit, cell[64=none]); callers derive any cell-boundary
+    plane they need via _plane(t1, dc, k) -- exact, since _plane reproduces
+    the same float the walk computed. Implemented as a 10-slot monotone
+    lattice walk (a ray crosses <= 3*4-2 cells of a 4^3 grid)."""
     tq0 = jnp.maximum(t_q, 0.0)
+    z4 = jnp.full_like(vm6, 4)
+    z0 = jnp.zeros_like(vm6)
 
-    node_en = _max3(tbx[0], tby[0], tbz[0])
-    node_ex = _min3(tbx[4], tby[4], tbz[4])
+    def pl_(t1, dc, k):
+        return _plane(t1, dc, k, stable)
+
+    node_en = _max3(pl_(t1x, dcx, z0), pl_(t1y, dcy, z0),
+                    pl_(t1z, dcz, z0))
+    node_ex = _min3(t1x, t1y, t1z)
     t_start = jnp.maximum(node_en, tq0)
 
-    def start_coord(tb):
+    def start_coord(t1, dc):
         return (
-            (tb[1] <= t_start).astype(I32)
-            + (tb[2] <= t_start).astype(I32)
-            + (tb[3] <= t_start).astype(I32)
+            (pl_(t1, dc, z0 + 1) <= t_start).astype(I32)
+            + (pl_(t1, dc, z0 + 2) <= t_start).astype(I32)
+            + (pl_(t1, dc, z0 + 3) <= t_start).astype(I32)
         )
 
-    cx = start_coord(tbx)
-    cy = start_coord(tby)
-    cz = start_coord(tbz)
+    cx = start_coord(t1x, dcx)
+    cy = start_coord(t1y, dcy)
+    cz = start_coord(t1z, dcz)
     # true entry of the start cell (scan semantics report the cell's real
     # entry time, which can precede a resume key)
-    en = _max3(_sel4(tbx, cx), _sel4(tby, cy), _sel4(tbz, cz))
-    nx = _sel4(tbx[1:], cx)
-    ny = _sel4(tby[1:], cy)
-    nz = _sel4(tbz[1:], cz)
+    en = _max3(pl_(t1x, dcx, cx), pl_(t1y, dcy, cy),
+               pl_(t1z, dcz, cz))
+    nx = pl_(t1x, dcx, jnp.minimum(cx + 1, z4))
+    ny = pl_(t1y, dcy, jnp.minimum(cy + 1, z4))
+    nz = pl_(t1z, dcz, jnp.minimum(cz + 1, z4))
 
     alive = t_start < node_ex
     found = jnp.zeros_like(alive)
@@ -236,13 +262,19 @@ def _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
         cy = cy + sy.astype(I32)
         cz = cz + sz.astype(I32)
         en = ex
-        nx = jnp.where(sx & (cx < 4), _sel4(tbx[1:], jnp.minimum(cx, 3)), nx)
-        ny = jnp.where(sy & (cy < 4), _sel4(tby[1:], jnp.minimum(cy, 3)), ny)
-        nz = jnp.where(sz & (cz < 4), _sel4(tbz[1:], jnp.minimum(cz, 3)), nz)
+        nx = jnp.where(
+            sx & (cx < 4), pl_(t1x, dcx, jnp.minimum(cx + 1, z4)), nx
+        )
+        ny = jnp.where(
+            sy & (cy < 4), pl_(t1y, dcy, jnp.minimum(cy + 1, z4)), ny
+        )
+        nz = jnp.where(
+            sz & (cz < 4), pl_(t1z, dcz, jnp.minimum(cz + 1, z4)), nz
+        )
         alive = alive & ~found & (cx < 4) & (cy < 4) & (cz < 4)
 
-    out = _stable(tuple([best_en, best_ex, best_c] + tbx + tby + tbz), stable)
-    return out[0], out[1], out[2], list(out[3:8]), list(out[8:13]), list(out[13:18])
+    out = _stable((best_en, best_ex, best_c), stable)
+    return out[0], out[1], out[2]
 
 
 GATHER_IMPL = "multsum"  # "multsum" (mask+reduce) or "taa" (dynamic gather)
@@ -461,7 +493,7 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
             tq_new = t_q
 
             for depth in range(T):
-                en, ex, c, tbx, tby, tbz = _walk64(
+                en, ex, c, = _walk64(
                     mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
                     dc[0], dc[1], dc[2], t_q, stable=stable,
                 )
@@ -474,9 +506,10 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
                 ok = found
 
                 cx, cy, cz = _coords(c)
-                nt1x = _sel4(tbx[1:], cx)
-                nt1y = _sel4(tby[1:], cy)
-                nt1z = _sel4(tbz[1:], cz)
+                k4 = jnp.full_like(c, 4)
+                nt1x = _plane(cur[0], dc[0], jnp.minimum(cx + 1, k4), stable)
+                nt1y = _plane(cur[1], dc[1], jnp.minimum(cy + 1, k4), stable)
+                nt1z = _plane(cur[2], dc[2], jnp.minimum(cz + 1, k4), stable)
                 rank = _pc64_below(mask_lo, mask_hi, c ^ vm6)
                 child = base + rank
 
@@ -573,7 +606,7 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
             active_i, sub_tq, hit_i, t_hit, nmaj, vr, i = st
             active = active_i != 0
             hit = hit_i != 0
-            en_s, ex_s, cs, tbsx, tbsy, tbsz = _walk64(
+            en_s, ex_s, cs = _walk64(
                 coarse_lo, coarse_hi, vm6, bt1[0], bt1[1], bt1[2],
                 dcs[0], dcs[1], dcs[2], sub_tq, stable=stable,
             )
@@ -586,11 +619,12 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
             )
 
             sx, sy, sz = _coords(cs)
-            st1x = _sel4(tbsx[1:], sx)
-            st1y = _sel4(tbsy[1:], sy)
-            st1z = _sel4(tbsz[1:], sz)
+            k4 = jnp.full_like(cs, 4)
+            st1x = _plane(bt1[0], dcs[0], jnp.minimum(sx + 1, k4), stable)
+            st1y = _plane(bt1[1], dcs[1], jnp.minimum(sy + 1, k4), stable)
+            st1z = _plane(bt1[2], dcs[2], jnp.minimum(sz + 1, k4), stable)
 
-            en_v, ex_v, cv, tbvx, tbvy, tbvz = _walk64(
+            en_v, ex_v, cv = _walk64(
                 w_lo, w_hi, vm6, st1x, st1y, st1z,
                 dcv[0], dcv[1], dcv[2], sub_tq, stable=stable,
             )
@@ -598,8 +632,8 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
             is_hit = found_v & (en_v > 0.0)
 
             vx, vy, vz = _coords(cv)
-            en_xa = _sel4(tbvx, vx)
-            en_ya = _sel4(tbvy, vy)
+            en_xa = _plane(st1x, dcv[0], vx, stable)
+            en_ya = _plane(st1y, dcv[1], vy, stable)
             nm = jnp.where(en_v == en_xa, 1, jnp.where(en_v == en_ya, 2, 0))
 
             if shadow:

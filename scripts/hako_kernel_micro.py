@@ -158,5 +158,47 @@ def main():
              out_dtype=jnp.int32)
 
 
+def calibrate():
+    """Known-op-count kernels to validate the harness: 1024 chained fmas
+    (latency-bound) and 8 independent chains (throughput-bound)."""
+    rng = np.random.default_rng(0)
+    a0 = jnp.asarray(rng.uniform(0.5, 2.0, SHAPE).astype(np.float32))
+    b0 = jnp.asarray(rng.uniform(0.5, 2.0, SHAPE).astype(np.float32))
+
+    def k_chain(ar, br, out):
+        a = ar[:]
+        b = br[:]
+        for _ in range(1024):
+            a = a * 1.0000001 + b
+        out[:] = a
+
+    def k_par8(ar, br, out):
+        b = ar[:]
+        acc = [ar[:] + float(i) for i in range(8)]
+        for _ in range(128):
+            acc = [x * 1.0000001 + b for x in acc]
+        r = acc[0]
+        for x in acc[1:]:
+            r = r + x
+        out[:] = r
+
+    for name, k in (("calib 1024 chained fma", k_chain),
+                    ("calib 8x128 parallel fma", k_par8)):
+        vblk = pl.BlockSpec(SHAPE, hk._blk, memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            k, grid=(GRID,), in_specs=[vblk, vblk], out_specs=vblk,
+            out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.float32),
+        )
+        jitted = jax.jit(lambda *a, c=call: c(*a))
+        jax.block_until_ready(jitted(a0, b0))
+        t0 = time.perf_counter()
+        outs = [jitted(a0, b0) for _ in range(16)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / 16 / GRID
+        print(f"{name:34s}: {dt*1e9:8.1f} ns/block", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    calibrate()
+    if os.environ.get("FULL"):
+        main()

@@ -23,6 +23,9 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from massivevoxelraytracing_tpu.ops import hako_kernels as hk  # noqa: E402
 
+if os.environ.get("SBLK"):
+    hk.S_BLK = int(os.environ["SBLK"])
+    hk.RB = hk.S_BLK * 128
 S = hk.S_BLK
 GRID = 256
 SHAPE = (GRID * S, 128)
@@ -170,13 +173,14 @@ def main():
         base = jnp.zeros_like(vm6)
         tq = ins[6][:]
         for depth in range(T):
-            en, ex, c, tbx, tby, tbz = hk._walk64(
+            en, ex, c = hk._walk64(
                 mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
                 dc[0], dc[1], dc[2], tq)
             cx, cy, cz = hk._coords(c)
-            nt1x = hk._sel4(tbx[1:], cx)
-            nt1y = hk._sel4(tby[1:], cy)
-            nt1z = hk._sel4(tbz[1:], cz)
+            k4 = jnp.full_like(c, 4)
+            nt1x = hk._plane(cur[0], dc[0], jnp.minimum(cx + 1, k4))
+            nt1y = hk._plane(cur[1], dc[1], jnp.minimum(cy + 1, k4))
+            nt1z = hk._plane(cur[2], dc[2], jnp.minimum(cz + 1, k4))
             rank = hk._pc64_below(mask_lo, mask_hi, c ^ vm6)
             child = base + rank
             if depth < T - 1:
@@ -206,5 +210,96 @@ def main():
     report("unrolled probe body (no while_loop)", timeit(lambda: jb(*args_b)))
 
 
+def staged(tree=None):
+    """Stage the probe body: preamble+walk / +rank / +gather+walk2, to
+    locate the ~13 us."""
+    import massivevoxelraytracing_tpu.ops.hako as hako_ops
+    from massivevoxelraytracing_tpu.ops import morton, octree
+
+    rng = np.random.default_rng(0)
+    eight = [
+        jnp.asarray(rng.uniform(0.5, 2.0, SHAPE).astype(np.float32))
+        for _ in range(8)
+    ]
+    vblk = pl.BlockSpec(BLK, hk._blk, memory_space=pltpu.VMEM)
+    grid_res = 256
+    c = rng.integers(0, grid_res, size=(60000, 3)).astype(np.uint32)
+    m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    pad = octree.bucket(len(m))
+    hi, lo = morton.np_pack_pair(m)
+    hi = np.concatenate([hi, np.full(pad - len(m), 0xFFFFFFFF, np.uint32)])
+    lo = np.concatenate([lo, np.full(pad - len(m), 0xFFFFFFFF, np.uint32)])
+    tree = hako_ops.build_hako(
+        jnp.asarray(hi), jnp.asarray(lo), len(m), grid_res,
+        lower=np.zeros(3, np.float32), dps=1.0 / grid_res)
+    meta, (T, level_rows) = hk.hako_args(tree)
+    bricks, tabs, scal_i = meta
+    sf = jnp.concatenate(
+        [tree.lower.astype(jnp.float32), tree.upper.astype(jnp.float32),
+         jnp.zeros(2, jnp.float32)]).reshape(1, 8)
+    smem = pl.BlockSpec((1, 8), hk._rep, memory_space=pltpu.SMEM)
+    tab_specs = [hk.tab_spec(f) for f in level_rows]
+
+    def make(stage):
+        def k(si_ref, sfr, *refs):
+            tabs_r = refs[:len(tab_specs)]
+            ins = refs[len(tab_specs):len(tab_specs) + 8]
+            outs = refs[len(tab_specs) + 8:]
+            ro = (ins[0][:], ins[1][:], ins[2][:])
+            rd = (ins[3][:], ins[4][:], ins[5][:])
+            lov = [sfr[0, a] for a in range(3)]
+            upv = [sfr[0, 3 + a] for a in range(3)]
+            t0, t1, dt, vm6, okp = hk._ray_preamble(lov, upv, ro, rd)
+            rt_ml = hk._u(jnp.full_like(vm6, si_ref[0, 0]))
+            rt_mh = hk._u(jnp.full_like(vm6, si_ref[0, 2]))
+            cur = [t1[0], t1[1], t1[2]]
+            dc = [dt[0] * 0.25, dt[1] * 0.25, dt[2] * 0.25]
+            tq = ins[6][:]
+            en, ex, c = hk._walk64(
+                rt_ml, rt_mh, vm6, cur[0], cur[1], cur[2],
+                dc[0], dc[1], dc[2], tq)
+            child = c
+            rank = c
+            if stage >= 1:
+                cx, cy, cz = hk._coords(c)
+                k4 = jnp.full_like(c, 4)
+                nt1x = hk._plane(cur[0], dc[0], jnp.minimum(cx + 1, k4))
+                nt1y = hk._plane(cur[1], dc[1], jnp.minimum(cy + 1, k4))
+                nt1z = hk._plane(cur[2], dc[2], jnp.minimum(cz + 1, k4))
+                rank = hk._pc64_below(rt_ml, rt_mh, c ^ vm6)
+                child = rank
+            if stage >= 2:
+                ml2, mh2, b2 = hk._gather_node_any(
+                    tabs_r[0], level_rows[0], jnp.clip(child, 0, 55))
+                child = b2 + rank
+            if stage >= 3:
+                en2, ex2, c2 = hk._walk64(
+                    ml2, mh2, vm6, nt1x, nt1y, nt1z,
+                    dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25, tq)
+                child = child + c2
+            outs[0][:] = child
+            outs[1][:] = en
+            outs[2][:] = ex
+        return k
+
+    for stage, name in ((0, "preamble+walk"), (1, "+coords/planes/rank"),
+                        (2, "+smem gather"), (3, "+second walk")):
+        call = pl.pallas_call(
+            make(stage), grid=(GRID,),
+            in_specs=[smem, smem] + tab_specs + [vblk] * 8,
+            out_specs=[vblk] * 3,
+            out_shape=[jax.ShapeDtypeStruct(SHAPE, jnp.int32),
+                       jax.ShapeDtypeStruct(SHAPE, jnp.float32),
+                       jax.ShapeDtypeStruct(SHAPE, jnp.float32)],
+        )
+        jitted = jax.jit(lambda *a, c=call: c(*a))
+        tq = jnp.zeros(SHAPE, jnp.float32)
+        args = (scal_i, sf, *tabs, *eight[:6], tq, tq)
+        report(f"stage {stage}: {name}", timeit(lambda: jitted(*args)))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("STAGED"):
+        staged()
+    else:
+        main()
