@@ -48,9 +48,9 @@ def intersect_with(kind: str, depth, meta, root, lower, upper, ro, rd,
     """Dispatch inside jitted code (kind/depth are static)."""
     if kind == "hako":
         T, level_rows = depth
-        bricks, tabs, scal_i = meta
+        bricks, snodes, tabs, scal_i = meta
         return hako_kernels.intersect_rays_hako(
-            bricks, tabs, scal_i, lower, upper, ro, rd,
+            bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
             T=T, level_rows=level_rows, shadow=shadow,
         )
     if block is None:

@@ -112,24 +112,40 @@ def _cached_order(width: int, height: int, packet: int):
     return _ORDER_CACHE[key]
 
 
+TILE = 128  # pixel tile edge: traversal blocks get spatially coherent rays
+
+
 @partial(jax.jit, static_argnames=("width", "height", "kind", "depth",
                                    "show_color"))
 def _render_frame_device(
-    meta, root, lower, upper, color_table, order_pad, inv,
+    meta, root, lower, upper, color_table,
     cam_o, cam_right, cam_up, cam_front, tan_half_fovy,
     *, width: int, height: int, kind: str, depth: int, show_color: bool,
 ):
     """Whole frame in one dispatch: device-side ray generation from camera
     scalars (per-frame H2D = a few floats; host ray upload at 48 MB/frame
-    was costing more than the traversal), traversal, shading, unpermute."""
-    idx = order_pad
-    live = idx >= 0
-    safe = jnp.maximum(idx, 0)
-    px = (safe % width).astype(jnp.float32)
-    py = (safe // width).astype(jnp.float32)
+    was costing more than the traversal), traversal, shading.
+
+    Rays are generated directly in 128x128-tile-major order (arithmetic on
+    the lane index -- no order array), so the final un-permutation is a pure
+    reshape/transpose instead of two 2M-row gathers that used to cost ~50 ms
+    of the 1080p frame on this backend's gather pricing."""
+    ntx = -(-width // TILE)
+    nty = -(-height // TILE)
+    w2 = ntx * TILE
+    h2 = nty * TILE
+    n_pad = w2 * h2
+    lane = jnp.arange(n_pad, dtype=jnp.int32)
+    ti = lane // (TILE * TILE)
+    k = lane % (TILE * TILE)
+    px = (ti % ntx) * TILE + (k % TILE)
+    py = (ti // ntx) * TILE + (k // TILE)
+    live = (px < width) & (py < height)
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
     th = tan_half_fovy
-    u = (-th + 2.0 * th * (px + 0.5) / width) * (width / height)
-    v = th - 2.0 * th * (py + 0.5) / height
+    u = (-th + 2.0 * th * (pxf + 0.5) / width) * (width / height)
+    v = th - 2.0 * th * (pyf + 0.5) / height
     rd = u[:, None] * cam_right + v[:, None] * cam_up + cam_front
     ro = jnp.where(live[:, None], cam_o[None, :], 1e9)
 
@@ -148,13 +164,14 @@ def _render_frame_device(
         col = (hn + 1.0) * 0.5
     rgb = jnp.where(hit[:, None], col, 0.0)
     img = jnp.clip(rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-    n = width * height
-    img = jnp.take(img, inv, axis=0)
-    t_out = jnp.take(t, inv)
-    return (
-        img.reshape(height, width, 3),
-        t_out.reshape(height, width),
-    )
+
+    def untile(x):
+        c = x.shape[1:]
+        y = x.reshape((nty, ntx, TILE, TILE) + c)
+        y = jnp.transpose(y, (0, 2, 1, 3) + tuple(4 + i for i in range(len(c))))
+        return y.reshape((h2, w2) + c)[:height, :width]
+
+    return untile(img), untile(t)
 
 
 def render_frame(tree, cam: camera_ops.Camera,
@@ -164,11 +181,8 @@ def render_frame(tree, cam: camera_ops.Camera,
     what they actually need."""
     kind, depth, meta, root = accel_lib.accel_args(tree)
     color = tree.color if tree.color is not None else jnp.zeros(1, jnp.uint32)
-    n = width * height
-    packet = min(MAX_RAY_PACKET, max(_next_pow2(n), 8192))
-    order_pad, inv = _cached_order(width, height, packet)
     return _render_frame_device(
-        meta, root, tree.lower, tree.upper, color, order_pad, inv,
+        meta, root, tree.lower, tree.upper, color,
         jnp.asarray(cam.o), jnp.asarray(cam.right), jnp.asarray(cam.up),
         jnp.asarray(cam.front), jnp.float32(cam.tan_half_fovy),
         width=width, height=height, kind=kind, depth=depth,

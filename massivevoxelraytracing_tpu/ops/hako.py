@@ -59,32 +59,50 @@ def _c(x):
     return jnp.uint32(x)
 
 
+USE_SNODES_ABOVE = 1024  # grids above this get a fat supernode level
+
+
+def use_snodes_for(grid_res: int) -> bool:
+    return grid_res > USE_SNODES_ABOVE
+
+
 def top_levels_for(grid_res: int) -> int:
-    """T such that res4h = 16 * 4^T >= grid_res (T >= 1)."""
+    """T such that the top tree's leaf cell covers one fat row:
+    without snodes, 16 * 4^T >= grid_res (leaf cell = one 16^3 brick);
+    with snodes, 256 * 4^T >= grid_res (leaf cell = one 16^3-brick
+    supernode covering 256^3 voxels). T >= 1."""
+    leaf = 256 if use_snodes_for(grid_res) else 16
     t = 1
-    while 16 * (4 ** t) < grid_res:
+    while leaf * (4 ** t) < grid_res:
         t += 1
     return t
 
 
 def pad_res(grid_res: int) -> int:
-    return 16 * 4 ** top_levels_for(grid_res)
+    leaf = 256 if use_snodes_for(grid_res) else 16
+    return leaf * 4 ** top_levels_for(grid_res)
 
 
 @dataclasses.dataclass
 class HakoTree:
     bricks: jax.Array          # u32 [NB_pad, 164]
     n_bricks: int
-    levels: tuple              # f32 [rows_l, 11*128] tables for levels 1..T-1
+    levels: tuple              # node tables for top levels 1..T-1
     n_per_level: tuple         # node counts for levels 1..T-1
     root_mask_lo: int          # root node (level T): u64 mask as 2 ints
     root_mask_hi: int
-    T: int                     # top levels above bricks
-    res: int                   # padded: 16 * 4^T
+    T: int                     # top (4^3) levels above the fat rows
+    res: int                   # padded: (256 if snodes else 16) * 4^T
     grid_res: int              # caller resolution
     lower: jax.Array           # f32 [3]
     upper: jax.Array           # f32 [3] = lower + dps * res
     dps: float
+    snodes: jax.Array | None = None  # u32 [NS_pad, 164]: 16^3-brick
+    # supernode rows (same layout as bricks; base = brick rank) for grids
+    # above USE_SNODES_ABOVE -- keeps every VMEM node table small at any
+    # resolution (2048^3+): the mid tree rides the same HBM row-gather
+    # path as the bricks instead of a giant one-hot table
+    n_snodes: int = 0
     color: jax.Array | None = None
     emission: jax.Array | None = None
     n_voxels: int = 0
@@ -93,13 +111,15 @@ class HakoTree:
 
     def memory_bytes(self) -> int:
         b = self.bricks.shape[0] * BRICK_WORDS * 4
+        if self.snodes is not None:
+            b += self.snodes.shape[0] * BRICK_WORDS * 4
         for lv in self.levels:
             b += lv.size * 4
         return b
 
     @property
     def n_nodes(self) -> int:
-        return self.n_bricks + sum(self.n_per_level)
+        return self.n_bricks + self.n_snodes + sum(self.n_per_level)
 
 
 @partial(jax.jit, static_argnames=("n_levels",))
@@ -282,24 +302,49 @@ def build_hako(
     from .octree import bucket
 
     T = top_levels_for(grid_res)
-    res4h = 16 * 4 ** T
+    snody = use_snodes_for(grid_res)
+    res4h = (256 if snody else 16) * 4 ** T
 
     p0 = m_hi.shape[0]
     valid = jnp.arange(p0, dtype=I32) < n_voxels
     bm_all = jnp.where(valid, (m_hi << 20) | (m_lo >> 12), _c(INVALID))
-    counts = np.asarray(_level_counts(bm_all, valid, n_levels=T))
+    n_above = T + (2 if snody else 0)
+    counts = np.asarray(_level_counts(bm_all, valid, n_levels=n_above))
     nb = int(counts[0])
-    assert counts[T] == 1, f"root must be single, got {counts[T]}"
-    assert nb < (1 << 24), f"brick count {nb} exceeds 2^24 one-hot capacity"
+    assert counts[n_above] == 1, f"root must be single, got {counts[n_above]}"
+    assert nb < (1 << 24), f"brick count {nb} exceeds capacity"
 
     nb_pad = bucket(nb)
     rows, g_bm, _ = _build_bricks(m_hi, m_lo, jnp.int32(n_voxels), nb_pad=nb_pad)
 
+    snode_rows = None
+    n_snodes = 0
+    if snody:
+        # supernode fat rows: run the SAME brick builder over the brick
+        # mortons (bm < 2^24 fits the lo limb; hi = 0), so a supernode =
+        # a 4096-bit occupancy over its 16^3 bricks with base = the rank
+        # of its first brick
+        valid_b = jnp.arange(nb_pad, dtype=I32) < nb
+        bm_sorted = jnp.where(valid_b, g_bm, _c(INVALID))
+        ns = int(counts[2])
+        assert ns < (1 << 24), f"snode count {ns} exceeds capacity"
+        ns_pad = bucket(ns)
+        snode_rows, g_sm, _ = _build_bricks(
+            jnp.zeros_like(bm_sorted), bm_sorted, jnp.int32(nb), nb_pad=ns_pad
+        )
+        n_snodes = ns
+        t_m0, n_in0 = g_sm, ns
+        count_base = 2
+    else:
+        t_m0, n_in0 = g_bm, nb
+        count_base = 0
+
     # top levels 1..T-1 as kernel tables; level T = root scalars
     levels = []
     n_per_level = []
-    t_m, n_in = g_bm, nb
+    t_m, n_in = t_m0, n_in0
     lv = None
+    counts = counts[count_base:]
     for l in range(1, T + 1):
         p_out = bucket(int(counts[l]))
         lv = _build_top_level(t_m, jnp.int32(n_in), p_out=p_out)
@@ -341,6 +386,8 @@ def build_hako(
         lower=lower,
         upper=lower + jnp.float32(dps) * res4h,
         dps=float(dps),
+        snodes=snode_rows,
+        n_snodes=n_snodes,
         color=color,
         emission=emission,
         n_voxels=int(n_voxels),

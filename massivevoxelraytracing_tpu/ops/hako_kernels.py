@@ -570,15 +570,21 @@ def _fold_select(items, sel_bits, nbits):
 
 
 def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
-                   max_iters: int | None = None):
+                   max_iters: int | None = None, leaf: bool = True):
+    """leaf=True: walk a 16^3-VOXEL brick, report the first voxel hit.
+    leaf=False: walk a 16^3-BRICK supernode row (same layout), EMIT the
+    first brick whose interval passes the resume key -- outputs mirror
+    kernel A's (emit, child, cell planes, tq) so the driver chains
+    another row-gather + leaf stage behind it."""
     if max_iters is None:
         max_iters = MAX_DDA_ITERS  # read at build time so tests can patch it
-    dt_factor = 0.25 ** T  # brick extent / root extent per axis
+    dt_factor = 0.25 ** T  # fat-row extent / root extent per axis
 
     def kernel(sf_ref, w_ref, *refs):
         (rox, roy, roz, rdx, rdy, rdz,
          bt1x_ref, bt1y_ref, bt1z_ref, tqe_ref, go_ref,
-         hit_ref, t_ref, nmaj_ref, vr_ref, more_ref, tqr_ref) = refs
+         hit_ref, t_ref, nmaj_ref, vr_ref, p3_ref, tqp_ref,
+         more_ref, tqr_ref) = refs
 
         ro = (rox[:], roy[:], roz[:])
         rd = (rdx[:], rdy[:], rdz[:])
@@ -587,8 +593,8 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         _, _, dt, vm6, _ = _ray_preamble(lov, upv, ro, rd, stable)
 
         dtb = [dt[a] * dt_factor for a in range(3)]
-        dcs = [d * 0.25 for d in dtb]     # sub-brick cell dt
-        dcv = [d * 0.0625 for d in dtb]   # voxel cell dt
+        dcs = [d * 0.25 for d in dtb]     # coarse (4^3-of-cells) dt
+        dcv = [d * 0.0625 for d in dtb]   # fine cell dt
 
         bt1 = [bt1x_ref[:], bt1y_ref[:], bt1z_ref[:]]
         go = go_ref[:] != 0
@@ -597,13 +603,13 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         base = w_ref[130].astype(I32)
 
         zi = jnp.zeros_like(vm6)
+        zf = jnp.zeros_like(bt1[0])
 
         def cond(st):
-            active, sub_tq, hit, t_hit, nmaj, vr, i = st
-            return jnp.any(active != 0) & (i < max_iters)
+            return jnp.any(st[0] != 0) & (st[-1] < max_iters)
 
         def body(st):
-            active_i, sub_tq, hit_i, t_hit, nmaj, vr, i = st
+            active_i, sub_tq, hit_i, t_hit, nmaj, vr, p3, tqp, i = st
             active = active_i != 0
             hit = hit_i != 0
             en_s, ex_s, cs = _walk64(
@@ -629,14 +635,14 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
                 dcv[0], dcv[1], dcv[2], sub_tq, stable=stable,
             )
             found_v = found_s & (cv < 64)
-            is_hit = found_v & (en_v > 0.0)
+            # leaf: a voxel behind the origin is skipped (en must be
+            # strictly ahead); emit: any child row whose interval passes
+            # the resume key is the next one to walk
+            is_hit = found_v & (en_v > 0.0) if leaf else found_v
 
             vx, vy, vz = _coords(cv)
-            en_xa = _plane(st1x, dcv[0], vx, stable)
-            en_ya = _plane(st1y, dcv[1], vy, stable)
-            nm = jnp.where(en_v == en_xa, 1, jnp.where(en_v == en_ya, 2, 0))
 
-            if shadow:
+            if leaf and shadow:
                 vrank = zi
             else:
                 pk = _fold_select(
@@ -649,22 +655,41 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
                 vrank = base + pref + within
 
             hit = hit | is_hit
-            t_hit = jnp.where(is_hit, en_v, t_hit)
-            nmaj = jnp.where(is_hit, nm, nmaj)
             vr = jnp.where(is_hit, vrank, vr)
+            if leaf:
+                en_xa = _plane(st1x, dcv[0], vx, stable)
+                en_ya = _plane(st1y, dcv[1], vy, stable)
+                nm = jnp.where(
+                    en_v == en_xa, 1, jnp.where(en_v == en_ya, 2, 0)
+                )
+                t_hit = jnp.where(is_hit, en_v, t_hit)
+                nmaj = jnp.where(is_hit, nm, nmaj)
+            else:
+                # child-row cell EXIT planes become the bt1 of the next
+                # fat stage (affine from this stage's planes: exact)
+                k4v = jnp.full_like(cv, 4)
+                cp1 = _plane(st1x, dcv[0], jnp.minimum(vx + 1, k4v), stable)
+                cp2 = _plane(st1y, dcv[1], jnp.minimum(vy + 1, k4v), stable)
+                cp3 = _plane(st1z, dcv[2], jnp.minimum(vz + 1, k4v), stable)
+                t_hit = jnp.where(is_hit, cp1, t_hit)
+                nmaj = jnp.where(
+                    is_hit, jax.lax.bitcast_convert_type(cp2, I32), nmaj
+                )
+                p3 = jnp.where(is_hit, cp3, p3)
+                tqp = jnp.where(is_hit, sub_tq, tqp)
 
             skipped = found_v & ~is_hit          # origin-inside voxel
-            no_vox = found_s & ~found_v          # sub-brick had nothing left
+            no_vox = found_s & ~found_v          # coarse cell had nothing left
             sub_tq = jnp.where(
                 skipped, ex_v, jnp.where(no_vox, jnp.maximum(sub_tq, ex_s), sub_tq)
             )
             active = found_s & ~is_hit
             return (active.astype(I32), sub_tq, hit.astype(I32), t_hit,
-                    nmaj, vr, i + 1)
+                    nmaj, vr, p3, tqp, i + 1)
 
         init = (go.astype(I32), tqe_ref[:], jnp.zeros_like(vm6),
-                jnp.zeros_like(bt1[0]) + MAX_FLOAT, zi - 1, zi, jnp.int32(0))
-        active, sub_tq, hit, t_hit, nmaj, vr, _ = jax.lax.while_loop(
+                zf + MAX_FLOAT, zi - 1, zi, zf, zf, jnp.int32(0))
+        active, sub_tq, hit, t_hit, nmaj, vr, p3, tqp, _ = jax.lax.while_loop(
             cond, body, init
         )
 
@@ -672,8 +697,10 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         t_ref[:] = t_hit
         nmaj_ref[:] = nmaj
         vr_ref[:] = vr
-        # lanes still working the brick when the iteration cap struck resume
-        # from their sub-brick key on the next round
+        p3_ref[:] = p3
+        tqp_ref[:] = tqp
+        # lanes still working the row when the iteration cap struck resume
+        # from their coarse-cell key on the next round
         more_ref[:] = active
         tqr_ref[:] = sub_tq
 
@@ -693,7 +720,7 @@ def _rep(i):
 
 
 def _make_round(
-    bricks, tabs, scal_i, sf, rays_b, *,
+    bricks, snodes, tabs, scal_i, sf, rays_b, *,
     nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
     interpret: bool,
 ):
@@ -739,24 +766,40 @@ def _make_round(
     wblk = pl.BlockSpec(
         (BRICK_WORDS, S_BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    b_call = pl.pallas_call(
-        _make_kernel_b(T, shadow, stable=interpret),
-        grid=(grid,),
-        in_specs=[smem, wblk] + [vblk] * 11,
-        out_specs=[vblk] * 6,
-        out_shape=[
-            jax.ShapeDtypeStruct(shape, I32),          # hit
-            jax.ShapeDtypeStruct(shape, jnp.float32),  # t
-            jax.ShapeDtypeStruct(shape, I32),          # nmajor
-            jax.ShapeDtypeStruct(shape, I32),          # vrank
-            jax.ShapeDtypeStruct(shape, I32),          # more (iter-capped)
-            jax.ShapeDtypeStruct(shape, jnp.float32),  # resume sub_tq
-        ],
-        interpret=interpret,
-    )
+    fat = snodes is not None
+
+    def make_b(dt_exp, leaf):
+        return pl.pallas_call(
+            _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf),
+            grid=(grid,),
+            in_specs=[smem, wblk] + [vblk] * 11,
+            out_specs=[vblk] * 8,
+            out_shape=[
+                jax.ShapeDtypeStruct(shape, I32),          # hit / emit
+                jax.ShapeDtypeStruct(shape, jnp.float32),  # t / plane x
+                jax.ShapeDtypeStruct(shape, I32),          # nmajor / plane y
+                jax.ShapeDtypeStruct(shape, I32),          # vrank / child
+                jax.ShapeDtypeStruct(shape, jnp.float32),  # plane z (emit)
+                jax.ShapeDtypeStruct(shape, jnp.float32),  # tq pass (emit)
+                jax.ShapeDtypeStruct(shape, I32),          # more (iter-capped)
+                jax.ShapeDtypeStruct(shape, jnp.float32),  # resume sub_tq
+            ],
+            interpret=interpret,
+        )
+
+    # the supernode stage walks with the TOP-tree leaf extent; the brick
+    # stage below it is 16x finer per axis (= 2 more 4^3 levels)
+    b_leaf = make_b(T + 2 if fat else T, True)
+    if fat:
+        b_snode = make_b(T, False)
 
     def r2(v):
         return v.reshape(shape)
+
+    def gather_rows(table, emit, child):
+        ids = jnp.where(emit != 0, child, 0).reshape(-1)
+        rows = jnp.take(table, ids, axis=0, mode="clip")  # [cap*RB, 164]
+        return rows.T.reshape(BRICK_WORDS, s2, 128)
 
     def body(st):
         it, resolved, t_q, t_out, nmaj_out, vidx_out = st
@@ -776,14 +819,35 @@ def _make_round(
         tq_c = pick(t_q)
         act = (pick(resolved) == 0).astype(I32)
 
-        emit, brick, bt1x, bt1y, bt1z, tqe, tqn, exh = a_call(
+        emit, child, bt1x, bt1y, bt1z, tqe, tqn, exh = a_call(
             scal_i, sf, *tabs, *rays_c, tq_c, act
         )
-        ids = jnp.where(emit != 0, brick, 0).reshape(-1)
-        rows = jnp.take(bricks, ids, axis=0, mode="clip")  # [cap*RB, 164]
-        w3 = rows.T.reshape(BRICK_WORDS, s2, 128)
+
+        if fat:
+            # stage 1: supernode row walk emits the next BRICK + planes
+            w3s = gather_rows(snodes, emit, child)
+            go_s = emit * act
+            emit2, bp1, bp2i, brick, bp3, btq, more_s, tqr_s = b_snode(
+                sf, w3s, *rays_c, bt1x, bt1y, bt1z, tqe, go_s
+            )
+            # lanes whose supernode held nothing past tq advance to the
+            # supernode exit (same planes the kernel consumed); capped
+            # lanes resume from their coarse key
+            tqn = jnp.where(
+                (emit != 0) & (emit2 == 0),
+                jnp.where(more_s != 0, tqr_s, _min3(bt1x, bt1y, bt1z)),
+                tqn,
+            )
+            emit = emit2
+            bt1x = bp1
+            bt1y = jax.lax.bitcast_convert_type(bp2i, jnp.float32)
+            bt1z = bp3
+            tqe = btq
+            child = brick
+
+        w3 = gather_rows(bricks, emit, child)
         go = emit * act
-        hit, t_hit, nmaj, vr, more, tq_resume = b_call(
+        hit, t_hit, nmaj, vr, _p3, _tqp, more, tq_resume = b_leaf(
             sf, w3, *rays_c, bt1x, bt1y, bt1z, tqe, go
         )
         # resume key: lanes the DDA iteration cap stopped mid-brick resume
@@ -835,7 +899,7 @@ def _init_state(nb):
     ),
 )
 def _intersect_padded(
-    bricks, tabs, scal_i, lower, upper, ro, rd, *,
+    bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool, max_rounds: int = 256,
     cap_blocks: int | None = None,
 ):
@@ -853,7 +917,7 @@ def _intersect_padded(
     ).reshape(1, 8)
 
     body = _make_round(
-        bricks, tabs, scal_i, sf, rays_b,
+        bricks, snodes, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
         interpret=False,
     )
@@ -869,7 +933,7 @@ def _intersect_padded(
 
 
 def _intersect_padded_eager(
-    bricks, tabs, scal_i, lower, upper, ro, rd, *,
+    bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool, max_rounds: int = 256,
     cap_blocks: int | None = None,
 ):
@@ -894,7 +958,7 @@ def _intersect_padded_eager(
          jnp.zeros(2, jnp.float32)]
     ).reshape(1, 8)
     body = _make_round(
-        bricks, tabs, scal_i, sf, rays_b,
+        bricks, snodes, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
         interpret=True,
     )
@@ -908,7 +972,7 @@ def _intersect_padded_eager(
 
 
 def intersect_rays_hako(
-    bricks, tabs, scal_i, lower, upper, ro, rd, *,
+    bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool = False, max_rounds: int = 256,
     interpret: bool | None = None, cap_blocks: int | None = None,
 ):
@@ -922,7 +986,7 @@ def intersect_rays_hako(
         rd = jnp.concatenate([rd, jnp.ones((rpad - R, 3), rd.dtype)])
     fn = _intersect_padded_eager if interpret else _intersect_padded
     t, nmaj, vidx = fn(
-        bricks, tabs, scal_i, lower, upper, ro, rd,
+        bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
         T=T, level_rows=level_rows, shadow=shadow, max_rounds=max_rounds,
         cap_blocks=cap_blocks,
     )
@@ -950,14 +1014,17 @@ def hako_args(tree: HakoTree):
     # kernel A consumes tables root-down: level T-1 first
     tabs = tuple(reversed(tree.levels))
     rows_rootdown = tuple(reversed(level_rows))
-    return (tree.bricks, tabs, scal_i), (tree.T, rows_rootdown)
+    return (
+        (tree.bricks, tree.snodes, tabs, scal_i),
+        (tree.T, rows_rootdown),
+    )
 
 
 def intersect_hako(tree: HakoTree, ro, rd, shadow: bool = False):
     meta, (T, level_rows) = hako_args(tree)
-    bricks, tabs, scal_i = meta
+    bricks, snodes, tabs, scal_i = meta
     return intersect_rays_hako(
-        bricks, tabs, scal_i, tree.lower, tree.upper,
+        bricks, snodes, tabs, scal_i, tree.lower, tree.upper,
         jnp.asarray(np.asarray(ro, np.float32)),
         jnp.asarray(np.asarray(rd, np.float32)),
         T=T, level_rows=level_rows, shadow=shadow,

@@ -65,7 +65,7 @@ def main():
     ro = np.where(live[:, None], np.asarray(cam.o)[None, :], 1e9).astype(np.float32)
 
     meta, (T, level_rows) = hk.hako_args(tree)
-    bricks, tabs, scal_i = meta
+    bricks, snodes, tabs, scal_i = meta
     R = n_pad
     nb = R // hk.RB
     cap = max(nb // 4, 1)
@@ -77,7 +77,7 @@ def main():
     # full traversal timing
     def full():
         t, nm, vi = hk.intersect_rays_hako(
-            bricks, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
+            bricks, snodes, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
             T=T, level_rows=level_rows, shadow=False)
         return t.sum()
     dt, _ = timeit(full, iters=4)
@@ -91,7 +91,7 @@ def main():
     rays_b = [ro_j[:, 0].reshape(nb, hk.RB), ro_j[:, 1].reshape(nb, hk.RB),
               ro_j[:, 2].reshape(nb, hk.RB), rd_j[:, 0].reshape(nb, hk.RB),
               rd_j[:, 1].reshape(nb, hk.RB), rd_j[:, 2].reshape(nb, hk.RB)]
-    body = hk._make_round(bricks, tabs, scal_i, sf, rays_b,
+    body = hk._make_round(bricks, snodes, tabs, scal_i, sf, rays_b,
                           nb=nb, cap=cap, T=T, level_rows=level_rows,
                           shadow=False, interpret=False)
     body_j = jax.jit(body)

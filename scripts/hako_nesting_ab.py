@@ -38,7 +38,7 @@ def main():
         eye=center + np.array([0.9, 0.4, 1.4]) * extent * 0.9,
         target=center, fovy_deg=40.0)
     meta, (T, level_rows) = hk.hako_args(tree)
-    bricks, tabs, scal_i = meta
+    bricks, snodes, tabs, scal_i = meta
 
     packet = raycast.MAX_RAY_PACKET
     order_pad, _ = raycast._cached_order(width, height, packet)
@@ -67,7 +67,7 @@ def main():
     # standalone (sweep form)
     def run_standalone():
         t, nm, vi = hk.intersect_rays_hako(
-            bricks, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
+            bricks, snodes, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
             T=T, level_rows=level_rows, shadow=False)
         return float(jnp.sum(jnp.where(t < 1e37, t, 0.0)))
 
@@ -79,7 +79,7 @@ def main():
     @jax.jit
     def nested(ro_j, rd_j):
         t, nm, vi = hk.intersect_rays_hako(
-            bricks, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
+            bricks, snodes, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
             T=T, level_rows=level_rows, shadow=False)
         return jnp.sum(jnp.where(t < 1e37, t, 0.0))
 

@@ -55,7 +55,7 @@ def main():
         target=center, fovy_deg=40.0)
 
     meta, (T, level_rows) = hk.hako_args(tree)
-    bricks, tabs, scal_i = meta
+    bricks, snodes, tabs, scal_i = meta
     n = width * height
     packet = raycast.MAX_RAY_PACKET
     order_pad, _ = raycast._cached_order(width, height, packet)
@@ -160,12 +160,14 @@ def main():
         hk._make_kernel_b(T, False, stable=False),
         grid=(cap,),
         in_specs=[smem, wblk] + [vblk] * 11,
-        out_specs=[vblk] * 6,
+        out_specs=[vblk] * 8,
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.int32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.int32),
             jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.int32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
         ],
@@ -197,7 +199,7 @@ def main():
     # full traversal + round count
     def full():
         t, nm, vi = hk.intersect_rays_hako(
-            bricks, tabs, scal_i, tree.lower, tree.upper,
+            bricks, snodes, tabs, scal_i, tree.lower, tree.upper,
             jnp.asarray(ro), jnp.asarray(rd),
             T=T, level_rows=level_rows, shadow=False)
         return float(jnp.sum(jnp.where(t < 1e37, t, 0.0)))

@@ -122,7 +122,7 @@ def main():
         jnp.asarray(hi), jnp.asarray(lo), len(m), grid_res,
         lower=np.zeros(3, np.float32), dps=1.0 / grid_res)
     meta, (T, level_rows) = hk.hako_args(tree)
-    bricks, tabs, scal_i = meta
+    bricks, snodes, tabs, scal_i = meta
     print(f"tree: T={T} level_rows={level_rows}", flush=True)
 
     sf = jnp.concatenate(
@@ -233,7 +233,7 @@ def staged(tree=None):
         jnp.asarray(hi), jnp.asarray(lo), len(m), grid_res,
         lower=np.zeros(3, np.float32), dps=1.0 / grid_res)
     meta, (T, level_rows) = hk.hako_args(tree)
-    bricks, tabs, scal_i = meta
+    bricks, snodes, tabs, scal_i = meta
     sf = jnp.concatenate(
         [tree.lower.astype(jnp.float32), tree.upper.astype(jnp.float32),
          jnp.zeros(2, jnp.float32)]).reshape(1, 8)

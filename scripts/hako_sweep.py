@@ -38,7 +38,7 @@ def main():
         target=center, fovy_deg=40.0)
 
     meta, (T, level_rows) = hk.hako_args(tree)
-    bricks, tabs, scal_i = meta
+    bricks, snodes, tabs, scal_i = meta
 
     # frame rays once, on device
     n = width * height
@@ -76,7 +76,7 @@ def main():
 
         def run():
             t, nm, vi = hk.intersect_rays_hako(
-                bricks, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
+                bricks, snodes, tabs, scal_i, tree.lower, tree.upper, ro_j, rd_j,
                 T=T, level_rows=level_rows, shadow=False,
                 cap_blocks=cb if cb else None)
             return float(jnp.sum(jnp.where(t < 1e37, t, 0.0))), t

@@ -117,6 +117,55 @@ def test_hako_taa_levels_match_brute_force():
     assert hit.mean() > 0.5
 
 
+def test_hako_snode_levels_match_brute_force():
+    """2048^3 tree gets the fat SUPERNODE level (16^3-brick occupancy rows
+    gathered from HBM like bricks) so no VMEM table ever exceeds 2048
+    nodes; traversal must still match the slab oracle exactly."""
+    grid_res = 2048
+    dps = 1.0 / grid_res
+    # cluster voxels so bricks/snodes get real multi-occupancy
+    base = RNG.integers(0, grid_res // 8, size=(60, 3)).astype(np.uint32) * 8
+    off = RNG.integers(0, 16, size=(40, 60, 3)).astype(np.uint32)
+    c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
+    m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    tree = make_tree(m, grid_res, dps)
+    assert tree.snodes is not None and tree.n_snodes > 1
+    assert all(n <= 2048 for n in tree.n_per_level), tree.n_per_level
+    got = hako.voxels_from_tree(tree)
+    np.testing.assert_array_equal(got, m)
+
+    n = 160
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro + RNG.normal(size=(n, 3)) * 5e-5).astype(np.float32)
+    hit = compare_vs_oracle(tree, m, dps, ro, rd)
+    assert hit.mean() > 0.5
+
+
+def test_hako_snode_capped_resume(monkeypatch):
+    """Every snode-chain resume path must be exercised and change nothing:
+    1 probe per kernel-A call and 1 coarse-cell visit per DDA call."""
+    grid_res = 2048
+    dps = 1.0 / grid_res
+    base = RNG.integers(0, grid_res // 8, size=(30, 3)).astype(np.uint32) * 8
+    off = RNG.integers(0, 24, size=(50, 30, 3)).astype(np.uint32)
+    c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
+    m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    tree = make_tree(m, grid_res, dps)
+    n = 96
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro).astype(np.float32)
+    ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    monkeypatch.setattr(hako_kernels, "MAX_PROBES", 1)
+    monkeypatch.setattr(hako_kernels, "MAX_DDA_ITERS", 1)
+    got = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
 def test_hako_shadow_any_hit():
     grid_res = 64
     dps = 1.0 / grid_res
