@@ -28,6 +28,7 @@ from ..ops.bits import U32
 from ..utils import meshprep
 
 INVALID = 0xFFFFFFFF
+GROUP_DUMPED = 40 << 20  # above this, unique runs hierarchically (by groups)
 
 
 @jax.jit
@@ -108,20 +109,66 @@ def build_scene(
         raise ValueError("voxelization produced no voxels")
     offsets = np.concatenate([[0], np.cumsum(counts)])
 
-    # pass 2: emit compacted chunks at running offsets
+    # pass 2: emit compacted chunks at running offsets, then sort + unique
+    # with true duplicate means (`unique` kernel). Above GROUP_DUMPED the
+    # stream is processed HIERARCHICALLY (per-group sort to channel sums,
+    # then one merge of the much smaller unique streams): a single global
+    # 4-operand sort of a 2048^3-scale dump (plus XLA's sort temp) exceeds
+    # HBM. Attribute means are bitwise identical either way (sum of sums /
+    # sum of counts, same integer division).
     cand_per_chunk = chunk * cap * cap * cap
-    buf_size = octree_ops.bucket(total_dumped + cand_per_chunk)
-    bufs = tuple(
-        jnp.full((buf_size,), jnp.uint32(INVALID)) for _ in range(2)
-    ) + tuple(jnp.zeros((buf_size,), U32) for _ in range(2))
-    for k in range(n_chunks):
-        bufs = _chunk_emit(bufs, vox_chunk(k), jnp.int32(int(offsets[k])))
-    m_hi, m_lo, colors, emissions = bufs
+    if total_dumped <= GROUP_DUMPED:
+        groups = [(0, n_chunks)]
+    else:
+        groups = []
+        k0 = 0
+        acc = 0
+        for k in range(n_chunks):
+            acc += int(counts[k])
+            if acc >= GROUP_DUMPED or k == n_chunks - 1:
+                groups.append((k0, k + 1))
+                k0 = k + 1
+                acc = 0
+        if k0 < n_chunks:
+            groups.append((k0, n_chunks))
 
-    # global sort + unique with true duplicate means (`unique` kernel)
-    uniq = vox_ops.sort_and_unique(
-        _make_unique_input(m_hi, m_lo, colors, emissions)
-    )
+    if len(groups) == 1:
+        buf_size = octree_ops.bucket(total_dumped + cand_per_chunk)
+        bufs = tuple(
+            jnp.full((buf_size,), jnp.uint32(INVALID)) for _ in range(2)
+        ) + tuple(jnp.zeros((buf_size,), U32) for _ in range(2))
+        for k in range(n_chunks):
+            bufs = _chunk_emit(bufs, vox_chunk(k), jnp.int32(int(offsets[k])))
+        m_hi, m_lo, colors, emissions = bufs
+        uniq = vox_ops.sort_and_unique(
+            _make_unique_input(m_hi, m_lo, colors, emissions)
+        )
+    else:
+        parts = []
+        part_ns = []
+        for (ka, kb) in groups:
+            g_dump = int(counts[ka:kb].sum())
+            buf_size = octree_ops.bucket(g_dump + cand_per_chunk)
+            bufs = tuple(
+                jnp.full((buf_size,), jnp.uint32(INVALID)) for _ in range(2)
+            ) + tuple(jnp.zeros((buf_size,), U32) for _ in range(2))
+            off0 = int(offsets[ka])
+            for k in range(ka, kb):
+                bufs = _chunk_emit(
+                    bufs, vox_chunk(k), jnp.int32(int(offsets[k]) - off0)
+                )
+            m_hi_g, m_lo_g, col_g, emi_g = bufs
+            out, n_u = vox_ops.sort_and_unique_sums(
+                m_hi_g, m_lo_g, col_g, emi_g,
+                m_hi_g != jnp.uint32(INVALID),
+            )
+            n_u = int(n_u)  # readback: compact each group before the merge
+            parts.append([x[: octree_ops.bucket(n_u)] for x in out])
+            part_ns.append(n_u)
+        cat = [
+            jnp.concatenate([p[i] for p in parts]) for i in range(9)
+        ]
+        uniq = vox_ops.merge_unique_sums(cat[0], cat[1], cat[2:8], cat[8])
     n_unique = int(uniq["n_unique"])  # readback 2
     pad = octree_ops.bucket(n_unique)
     lower = origin_j

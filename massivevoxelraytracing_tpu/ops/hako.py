@@ -156,8 +156,12 @@ def _build_bricks(m_hi, m_lo, n_voxels, *, nb_pad: int):
     )
     words = flat.reshape(nb_pad, 128)
 
-    # coarse mask: sub-brick s <-> words 2s, 2s+1
-    occ = (words.reshape(nb_pad, 64, 2) != 0).any(axis=2)
+    # coarse mask: sub-brick s <-> words 2s, 2s+1. Strided lane slices, NOT
+    # a [NB, 64, 2] reshape: a minor dim of 2 gets tile-padded to 128 lanes
+    # (64x memory blowup -- 16 GB of HLO temp at 2048^3 scale).
+    w_even = words[:, 0::2]
+    w_odd = words[:, 1::2]
+    occ = (w_even | w_odd) != 0
     pw = _c(1) << u32(jnp.arange(32))
     coarse_lo = jnp.sum(jnp.where(occ[:, :32], pw[None, :], _c(0)), axis=1)
     coarse_hi = jnp.sum(jnp.where(occ[:, 32:], pw[None, :], _c(0)), axis=1)
@@ -171,13 +175,10 @@ def _build_bricks(m_hi, m_lo, n_voxels, *, nb_pad: int):
     g_bm = jnp.where(gv, jnp.take(bm, gstart), _c(INVALID))
 
     # per-sub-brick exclusive prefix of voxel counts, packed u16 pairs
-    pc = (
-        popcount32(words.reshape(nb_pad, 64, 2)[:, :, 0])
-        + popcount32(words.reshape(nb_pad, 64, 2)[:, :, 1])
-    )
+    pc = popcount32(w_even) + popcount32(w_odd)
     prefix = jnp.cumsum(pc, axis=1) - pc  # exclusive, [NB, 64]
-    pr = prefix.astype(U32).reshape(nb_pad, 32, 2)
-    packed = pr[:, :, 0] | (pr[:, :, 1] << 16)
+    pru = prefix.astype(U32)
+    packed = pru[:, 0::2] | (pru[:, 1::2] << 16)
 
     rows = jnp.concatenate(
         [

@@ -349,6 +349,111 @@ def count_voxels(cands):
 
 
 @jax.jit
+@jax.jit
+def sort_and_unique_sums(m_hi, m_lo, color, emission, valid):
+    """Group stage of the HIERARCHICAL unique used at production scale
+    (>= ~50M dumped voxels, where one global 4-operand sort of the whole
+    stream plus XLA's sort temp exceeds HBM): sort one group's candidates
+    and reduce duplicates to per-voxel CHANNEL SUMS + COUNT, so groups can
+    later be merged with exact true-duplicate means (sum of sums / sum of
+    counts) -- bitwise the same attributes the single-pass path computes."""
+    key_hi = jnp.where(valid, m_hi, _c(0xFFFFFFFF))
+    key_lo = jnp.where(valid, m_lo, _c(0xFFFFFFFF))
+    s_hi, s_lo, s_col, s_emi = jax.lax.sort(
+        (key_hi, key_lo, color, emission), num_keys=2
+    )
+    n = s_hi.shape[0]
+    s_valid = s_hi != _c(0xFFFFFFFF)
+    prev_ne = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+        ]
+    )
+    boundary = s_valid & prev_ne
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    n_unique = jnp.sum(boundary.astype(jnp.int32))
+    seg = jnp.where(s_valid, seg, n)
+
+    def ch_sums(packed):
+        r, g, b = unpack_rgb8(packed)
+        return [
+            jax.ops.segment_sum(
+                ch.astype(jnp.uint32), seg, num_segments=n + 1
+            )[:-1]
+            for ch in (r, g, b)
+        ]
+
+    sums = ch_sums(s_col) + ch_sums(s_emi)
+    count = jax.ops.segment_sum(
+        s_valid.astype(jnp.uint32), seg, num_segments=n + 1
+    )[:-1]
+    first_idx = jnp.minimum(
+        jax.ops.segment_min(
+            jnp.arange(n, dtype=jnp.int32), seg, num_segments=n + 1
+        )[:-1],
+        n - 1,
+    )
+    live = jnp.arange(n) < n_unique
+    out = [
+        jnp.where(live, jnp.take(s_hi, first_idx), _c(0xFFFFFFFF)),
+        jnp.where(live, jnp.take(s_lo, first_idx), _c(0xFFFFFFFF)),
+    ] + [jnp.where(live, s, _c(0)) for s in sums] + [
+        jnp.where(live, count, _c(0))
+    ]
+    return out, n_unique
+
+
+@jax.jit
+def merge_unique_sums(hi, lo, sums6, count):
+    """Merge stage: concatenated per-group (key, sums, count) rows ->
+    final unique voxels with true-duplicate-mean attributes."""
+    ops = jax.lax.sort(tuple([hi, lo] + sums6 + [count]), num_keys=2)
+    s_hi, s_lo = ops[0], ops[1]
+    s_sums = ops[2:8]
+    s_count = ops[8]
+    n = s_hi.shape[0]
+    s_valid = s_hi != _c(0xFFFFFFFF)
+    prev_ne = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+        ]
+    )
+    boundary = s_valid & prev_ne
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    n_unique = jnp.sum(boundary.astype(jnp.int32))
+    seg = jnp.where(s_valid, seg, n)
+    tot = [
+        jax.ops.segment_sum(s, seg, num_segments=n + 1)[:-1] for s in s_sums
+    ]
+    cnt = jax.ops.segment_sum(s_count, seg, num_segments=n + 1)[:-1]
+    cnt = jnp.maximum(cnt, 1)
+
+    def pack3(chs):
+        means = [(s // cnt).astype(U32) for s in chs]
+        return means[0] | (means[1] << 8) | (means[2] << 16) | _c(0xFF000000)
+
+    mean_col = pack3(tot[0:3])
+    mean_emi = pack3(tot[3:6])
+    first_idx = jnp.minimum(
+        jax.ops.segment_min(
+            jnp.arange(n, dtype=jnp.int32), seg, num_segments=n + 1
+        )[:-1],
+        n - 1,
+    )
+    live = jnp.arange(n) < n_unique
+    has_emission = jnp.any(live & ((mean_emi & _c(0x00FFFFFF)) != 0))
+    return dict(
+        m_hi=jnp.where(live, jnp.take(s_hi, first_idx), _c(0xFFFFFFFF)),
+        m_lo=jnp.where(live, jnp.take(s_lo, first_idx), _c(0xFFFFFFFF)),
+        color=jnp.where(live, mean_col, _c(0)),
+        emission=jnp.where(live, mean_emi, _c(0)),
+        n_unique=n_unique,
+        has_emission=has_emission,
+    )
+
+
 def sort_and_unique(cands):
     """Sort candidates by Morton and deduplicate with integer-mean attributes.
 

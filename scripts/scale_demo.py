@@ -35,6 +35,7 @@ from massivevoxelraytracing_tpu.utils import meshgen, png  # noqa: E402
 def sphere_lattice(nsp: int, subdiv: int, radius_frac: float):
     base = meshgen.bumpy_sphere(subdiv, radius=1.0, bump=0.15, freq=5)
     tris = []
+    cols = []
     step = 1.0 / nsp
     r = radius_frac * step
     rng = np.random.default_rng(11)
@@ -44,18 +45,20 @@ def sphere_lattice(nsp: int, subdiv: int, radius_frac: float):
                 c = (np.array([i, j, k], np.float32) + 0.5) * step
                 c += rng.uniform(-0.08, 0.08, 3).astype(np.float32) * step
                 tris.append(base * r + c)
-    return np.concatenate(tris)
+                col = 0.25 + 0.75 * rng.uniform(0, 1, 3).astype(np.float32)
+                cols.append(np.broadcast_to(col, base.shape).copy())
+    return np.concatenate(tris), np.concatenate(cols)
 
 
 def main():
     grid_res = int(os.environ.get("RES", 2048))
     nsp = int(os.environ.get("NSP", 6))
     subdiv = int(os.environ.get("SUBDIV", 4))
-    radius_frac = float(os.environ.get("RADIUS", 0.46))
+    radius_frac = float(os.environ.get("RADIUS", 0.44))
     width, height = 1920, 1088
 
     t0 = time.time()
-    tri = sphere_lattice(nsp, subdiv, radius_frac)
+    tri, tri_cols = sphere_lattice(nsp, subdiv, radius_frac)
     t_mesh = time.time() - t0
     print(f"[scale] mesh: {len(tri)/1e6:.2f}M triangles ({t_mesh:.1f}s)",
           flush=True)
@@ -64,8 +67,8 @@ def main():
     dps = 1.0 / grid_res
     t0 = time.time()
     tree = scene.build_scene(
-        tri, origin=origin, dps=dps, grid_res=grid_res, accel="hako",
-        chunk_tris=int(os.environ.get("CHUNK", 262144)),
+        tri, tri_cols, origin=origin, dps=dps, grid_res=grid_res,
+        accel="hako", chunk_tris=int(os.environ.get("CHUNK", 262144)),
     )
     build_s = time.time() - t0
     st = tree.build_stats or {}
