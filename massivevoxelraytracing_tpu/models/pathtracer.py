@@ -237,14 +237,39 @@ def pt_sample(
             alive[:, None], ro + rd * jnp.where(miss, 0.0, t)[:, None], 1e9
         )
 
+        # Draw the bounce's sample dims in the reference's fixed order, then
+        # trace the NEE shadow ray, the depth-0 implicit ray, and the BSDF
+        # ray as ONE concatenated batch: per-lane traversal results are
+        # independent of batching (bit-identical to separate calls), and a
+        # single round driver amortizes the per-call fixed costs the three
+        # separate drivers each paid.
+        dir_s = emissive = pdf = None
         if hdri_enabled:
-            # NEE to the env (voxKernel.cu:697-716)
             u01 = s2d()
             u23 = s2d()
             dir_s, emissive, pdf = hdri_ops.importance_sample(
                 env, hit_n, u01[0], u01[1], u23[0], u23[1], axis_aligned=True
             )
-            t_s, _, _ = intersect(hit_p, dir_s, True)
+        dir_e = None
+        if n_extra and depth == 0:
+            eu = s2d()
+            dir_e = sampling.sample_lambertian(eu[0], eu[1], hit_n)
+        bu = s2d()
+        dir_b = sampling.sample_lambertian(bu[0], bu[1], hit_n)
+        ro = jnp.where(alive[:, None], hit_p, 1e9)
+        rd = jnp.where(alive[:, None], dir_b, rd)
+
+        ro_sets = [hit_p] * (dir_s is not None) + \
+            [hit_p] * (dir_e is not None) + [ro]
+        rd_sets = [d for d in (dir_s, dir_e, rd) if d is not None]
+        t_all, nm_all, vi_all = intersect(
+            jnp.concatenate(ro_sets), jnp.concatenate(rd_sets), False
+        )
+        k = 0
+        if dir_s is not None:
+            # NEE to the env (voxKernel.cu:697-716)
+            t_s = t_all[k * R:(k + 1) * R]
+            k += 1
             vis = alive & (t_s >= 1e37)
             cosw = jnp.maximum(jnp.sum(hit_n * dir_s, axis=-1), 0.0)
             contrib = T * (refl / jnp.pi) * (cosw / pdf)[:, None] * emissive
@@ -252,11 +277,11 @@ def pt_sample(
 
         T = jnp.where(alive[:, None], T * refl, T)
 
-        if n_extra and depth == 0:
+        if dir_e is not None:
             # one extra implicit emission ray (voxKernel.cu:720-738)
-            eu = s2d()
-            dir_e = sampling.sample_lambertian(eu[0], eu[1], hit_n)
-            t_e, _, v_e = intersect(hit_p, dir_e, False)
+            t_e = t_all[k * R:(k + 1) * R]
+            v_e = vi_all[k * R:(k + 1) * R]
+            k += 1
             le_e = rgb8_to_f32(
                 jnp.take(emission_table, v_e.astype(jnp.int32), mode="clip")
             ) * emission_scale
@@ -267,11 +292,9 @@ def pt_sample(
 
         # BSDF ray (voxKernel.cu:741-759). Dead lanes park at 1e9 so their
         # traversal retires on iteration 0 instead of re-walking the tree.
-        bu = s2d()
-        dir_b = sampling.sample_lambertian(bu[0], bu[1], hit_n)
-        ro = jnp.where(alive[:, None], hit_p, 1e9)
-        rd = jnp.where(alive[:, None], dir_b, rd)
-        t, nmaj_n, vidx_n = intersect(ro, rd, False)
+        t = t_all[k * R:]
+        nmaj_n = nm_all[k * R:]
+        vidx_n = vi_all[k * R:]
         # only alive lanes advance their hit state
         new_hit = alive & (t < 1e37)
         le_b = rgb8_to_f32(
@@ -339,9 +362,12 @@ class PathTracer:
 
         n = self.width * self.height
         # pixel sub-packet: the spp batch multiplies the wavefront width;
-        # adapt to the frame (pow2 buckets) but cap pixels * n_spp at packet
+        # adapt to the frame (pow2 buckets) but cap pixels * n_spp * 2 at
+        # packet -- the bounce loop traces NEE+implicit+BSDF rays as one
+        # concatenated batch (2-3x the lane width), and batches beyond ~4M
+        # lanes fault this backend (device error; 3M measured fine)
         np2 = 1 << max(n - 1, 1).bit_length()
-        pix_packet = max(min(self.packet // max(n_spp, 1), np2), 1024)
+        pix_packet = max(min(self.packet // (max(n_spp, 1) * 2), np2), 1024)
         n_pad = -(-n // pix_packet) * pix_packet
 
         parts = []
