@@ -916,16 +916,35 @@ def _intersect_padded(
          jnp.zeros(2, jnp.float32)]
     ).reshape(1, 8)
 
-    body = _make_round(
+    # two-rung block-cap ladder: full-cap rounds while many blocks are
+    # active, then small-cap rounds for the straggler tail (a tail round at
+    # the full cap pads its unfilled slots with inactive blocks whose
+    # kernels still run -- measured ~60% waste once <1/4 of blocks remain)
+    cap2 = min(max(nb // 16, 8), cap)
+    st = _init_state(nb)
+    body1 = _make_round(
         bricks, snodes, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
         interpret=False,
     )
+    if cap2 < cap:
+        def cond1(st):
+            nblk = jnp.sum(jnp.any(st[1] == 0, axis=1).astype(I32))
+            return (st[0] < max_rounds) & (nblk > cap2)
+
+        st = jax.lax.while_loop(cond1, body1, st)
+        body2 = _make_round(
+            bricks, snodes, tabs, scal_i, sf, rays_b,
+            nb=nb, cap=cap2, T=T, level_rows=level_rows, shadow=shadow,
+            interpret=False,
+        )
+    else:
+        body2 = body1
 
     def cond(st):
         return (st[0] < max_rounds) & jnp.any(st[1] == 0)
 
-    st = jax.lax.while_loop(cond, body, _init_state(nb))
+    st = jax.lax.while_loop(cond, body2, st)
     _, _, _, t_out, nmaj_out, vidx_out = st
     return (
         t_out.reshape(R), nmaj_out.reshape(R), vidx_out.reshape(R).astype(U32)
