@@ -66,6 +66,11 @@ MAX_PROBES = 4             # kernel A: descents per call. The probe loop runs
                            # 1024^3). Lanes needing more probes go through
                            # another round instead.
 MAX_DDA_ITERS = 24         # kernel B: sub-brick visits per call (then t-resume)
+CAP_DIV = 8                # round width = nb/CAP_DIV blocks (full-cap rung):
+                           # 2026-08 sweep (scripts/cap_sweep.py): nb/8 beats
+                           # nb/4 by 10% at 1024^3 (143.6 vs 158.2 ms) and
+                           # ties at 256^3; nb/2 OOMs, nb/16 is 5-8% worse
+TAIL_DIV = 16              # straggler rung width = nb/TAIL_DIV blocks
 
 
 def _u(x):
@@ -906,7 +911,7 @@ def _intersect_padded(
     """TPU path: jitted while_loop of block-compacted rounds."""
     R = ro.shape[0]
     nb = R // RB
-    cap = cap_blocks if cap_blocks else max(nb // 4, 1)
+    cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -920,7 +925,7 @@ def _intersect_padded(
     # active, then small-cap rounds for the straggler tail (a tail round at
     # the full cap pads its unfilled slots with inactive blocks whose
     # kernels still run -- measured ~60% waste once <1/4 of blocks remain)
-    cap2 = min(max(nb // 16, 8), cap)
+    cap2 = min(max(nb // TAIL_DIV, 8), cap)
     st = _init_state(nb)
     body1 = _make_round(
         bricks, snodes, tabs, scal_i, sf, rays_b,
@@ -967,7 +972,7 @@ def _intersect_padded_eager(
     cannot arise)."""
     R = ro.shape[0]
     nb = R // RB
-    cap = cap_blocks if cap_blocks else max(nb // 4, 1)
+    cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
