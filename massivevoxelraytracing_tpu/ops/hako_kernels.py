@@ -585,7 +585,7 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         max_iters = MAX_DDA_ITERS  # read at build time so tests can patch it
     dt_factor = 0.25 ** T  # fat-row extent / root extent per axis
 
-    def kernel(sf_ref, w_ref, *refs):
+    def kernel(sf_ref, w_ref, m_ref, *refs):
         (rox, roy, roz, rdx, rdy, rdz,
          bt1x_ref, bt1y_ref, bt1z_ref, tqe_ref, go_ref,
          hit_ref, t_ref, nmaj_ref, vr_ref, p3_ref, tqp_ref,
@@ -603,9 +603,9 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
 
         bt1 = [bt1x_ref[:], bt1y_ref[:], bt1z_ref[:]]
         go = go_ref[:] != 0
-        coarse_lo = w_ref[128]
-        coarse_hi = w_ref[129]
-        base = w_ref[130].astype(I32)
+        coarse_lo = m_ref[0]
+        coarse_hi = m_ref[1]
+        base = m_ref[2].astype(I32)
 
         zi = jnp.zeros_like(vm6)
         zf = jnp.zeros_like(bt1[0])
@@ -651,7 +651,7 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
                 vrank = zi
             else:
                 pk = _fold_select(
-                    [w_ref[132 + t] for t in range(32)], s_real >> 1, 5
+                    [m_ref[4 + t] for t in range(32)], s_real >> 1, 5
                 )
                 pref = jnp.where(
                     (s_real & 1) == 1, pk >> 16, pk & jnp.uint32(_MASK16)
@@ -768,8 +768,15 @@ def _make_round(
         interpret=interpret,
     )
 
-    wblk = pl.BlockSpec(
-        (BRICK_WORDS, S_BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    # brick rows ride as TWO gathers (128 occupancy words + 36 metadata
+    # words): jnp.take of rows wider than one 128-lane tile prices ~4x
+    # per row (11.2 ms vs 2×~3 ms per 524K rows, scripts/gather_price2.py)
+    wblk_a = pl.BlockSpec(
+        (128, S_BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    wblk_m = pl.BlockSpec(
+        (BRICK_WORDS - 128, S_BLK, 128), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
     )
     fat = snodes is not None
 
@@ -777,7 +784,7 @@ def _make_round(
         return pl.pallas_call(
             _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf),
             grid=(grid,),
-            in_specs=[smem, wblk] + [vblk] * 11,
+            in_specs=[smem, wblk_a, wblk_m] + [vblk] * 11,
             out_specs=[vblk] * 8,
             out_shape=[
                 jax.ShapeDtypeStruct(shape, I32),          # hit / emit
@@ -801,10 +808,15 @@ def _make_round(
     def r2(v):
         return v.reshape(shape)
 
-    def gather_rows(table, emit, child):
+    def gather_rows(table_pair, emit, child):
+        tab_a, tab_m = table_pair
         ids = jnp.where(emit != 0, child, 0).reshape(-1)
-        rows = jnp.take(table, ids, axis=0, mode="clip")  # [cap*RB, 164]
-        return rows.T.reshape(BRICK_WORDS, s2, 128)
+        rows_a = jnp.take(tab_a, ids, axis=0, mode="clip")  # [cap*RB, 128]
+        rows_m = jnp.take(tab_m, ids, axis=0, mode="clip")  # [cap*RB, 36]
+        return (
+            rows_a.T.reshape(128, s2, 128),
+            rows_m.T.reshape(BRICK_WORDS - 128, s2, 128),
+        )
 
     def body(st):
         it, resolved, t_q, t_out, nmaj_out, vidx_out = st
@@ -830,10 +842,10 @@ def _make_round(
 
         if fat:
             # stage 1: supernode row walk emits the next BRICK + planes
-            w3s = gather_rows(snodes, emit, child)
+            w3s_a, w3s_m = gather_rows(snodes, emit, child)
             go_s = emit * act
             emit2, bp1, bp2i, brick, bp3, btq, more_s, tqr_s = b_snode(
-                sf, w3s, *rays_c, bt1x, bt1y, bt1z, tqe, go_s
+                sf, w3s_a, w3s_m, *rays_c, bt1x, bt1y, bt1z, tqe, go_s
             )
             # lanes whose supernode held nothing past tq advance to the
             # supernode exit (same planes the kernel consumed); capped
@@ -850,10 +862,10 @@ def _make_round(
             tqe = btq
             child = brick
 
-        w3 = gather_rows(bricks, emit, child)
+        w3_a, w3_m = gather_rows(bricks, emit, child)
         go = emit * act
         hit, t_hit, nmaj, vr, _p3, _tqp, more, tq_resume = b_leaf(
-            sf, w3, *rays_c, bt1x, bt1y, bt1z, tqe, go
+            sf, w3_a, w3_m, *rays_c, bt1x, bt1y, bt1z, tqe, go
         )
         # resume key: lanes the DDA iteration cap stopped mid-brick resume
         # from their sub-brick key; finished bricks resume from the brick
@@ -1018,7 +1030,15 @@ def intersect_rays_hako(
 
 
 def hako_args(tree: HakoTree):
-    """(meta pytree, static (T, level_rows)) for the accel dispatch."""
+    """(meta pytree, static (T, level_rows)) for the accel dispatch.
+
+    meta's bricks/snodes are (occupancy[:, :128], metadata[:, 128:]) pairs:
+    the row gather runs as two <=128-lane-tile takes (4x cheaper per row
+    than one 164-wide take, scripts/gather_price2.py). Split once per tree
+    and memoized (PT calls this per bounce)."""
+    cached = getattr(tree, "_hako_args_cache", None)
+    if cached is not None:
+        return cached
     scal_i = jnp.asarray(
         [[tree.root_mask_lo & _MASK16, tree.root_mask_lo >> 16,
           tree.root_mask_hi & _MASK16, tree.root_mask_hi >> 16,
@@ -1038,10 +1058,17 @@ def hako_args(tree: HakoTree):
     # kernel A consumes tables root-down: level T-1 first
     tabs = tuple(reversed(tree.levels))
     rows_rootdown = tuple(reversed(level_rows))
-    return (
-        (tree.bricks, tree.snodes, tabs, scal_i),
+    bricks = (tree.bricks[:, :128], tree.bricks[:, 128:])
+    snodes = (
+        None if tree.snodes is None
+        else (tree.snodes[:, :128], tree.snodes[:, 128:])
+    )
+    out = (
+        (bricks, snodes, tabs, scal_i),
         (tree.T, rows_rootdown),
     )
+    tree._hako_args_cache = out
+    return out
 
 
 def intersect_hako(tree: HakoTree, ro, rd, shadow: bool = False):

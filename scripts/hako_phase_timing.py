@@ -114,52 +114,30 @@ def main():
     print(f"   emit={float(jnp.mean((emit!=0)*1.0)):.3f} "
           f"exh={float(jnp.mean((exh!=0)*1.0)):.3f}", flush=True)
 
-    # brick gather
+    # brick gather (split two-take form, matching the driver)
+    tab_a, tab_m = bricks
+
     @jax.jit
     def gather(emit, brick):
         ids = jnp.where(emit != 0, brick, 0).reshape(-1)
-        rows = jnp.take(bricks, ids, axis=0, mode="clip")
-        return rows.T.reshape(hk.BRICK_WORDS, s2, 128)
+        rows_a = jnp.take(tab_a, ids, axis=0, mode="clip")
+        rows_m = jnp.take(tab_m, ids, axis=0, mode="clip")
+        return (rows_a.T.reshape(128, s2, 128),
+                rows_m.T.reshape(hk.BRICK_WORDS - 128, s2, 128))
 
     dt_g = timeit(lambda: gather(emit, brick))
-    print(f"brick gather ({cap*hk.RB} rows): {dt_g*1e3:7.2f} ms", flush=True)
-    w3 = gather(emit, brick)
+    print(f"brick gather ({cap*hk.RB} rows, split): {dt_g*1e3:7.2f} ms",
+          flush=True)
+    w3a, w3m = gather(emit, brick)
 
-    # split: gather only (no transpose) and transpose only
-    @jax.jit
-    def gather_only(emit, brick):
-        ids = jnp.where(emit != 0, brick, 0).reshape(-1)
-        return jnp.take(bricks, ids, axis=0, mode="clip")
-
-    dt_go = timeit(lambda: gather_only(emit, brick))
-    print(f"  gather only: {dt_go*1e3:7.2f} ms", flush=True)
-    rows_j = gather_only(emit, brick)
-
-    @jax.jit
-    def transpose_only(rows):
-        return rows.T.reshape(hk.BRICK_WORDS, s2, 128)
-
-    dt_tr = timeit(lambda: transpose_only(rows_j))
-    print(f"  transpose only: {dt_tr*1e3:7.2f} ms", flush=True)
-
-    # pre-transposed storage: gather along axis=1 of [164, NB]
-    bricks_t = jnp.asarray(np.asarray(bricks).T.copy())
-
-    @jax.jit
-    def gather_t(emit, brick):
-        ids = jnp.where(emit != 0, brick, 0).reshape(-1)
-        return jnp.take(bricks_t, ids, axis=1).reshape(
-            hk.BRICK_WORDS, s2, 128)
-
-    dt_gt = timeit(lambda: gather_t(emit, brick))
-    print(f"  pre-transposed gather(axis=1): {dt_gt*1e3:7.2f} ms", flush=True)
-
-    wblk = pl.BlockSpec((hk.BRICK_WORDS, hk.S_BLK, 128), lambda i: (0, i, 0),
-                        memory_space=pltpu.VMEM)
+    wblk_a = pl.BlockSpec((128, hk.S_BLK, 128), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    wblk_m = pl.BlockSpec((hk.BRICK_WORDS - 128, hk.S_BLK, 128),
+                          lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     b_call = pl.pallas_call(
         hk._make_kernel_b(T, False, stable=False),
         grid=(cap,),
-        in_specs=[smem, wblk] + [vblk] * 11,
+        in_specs=[smem, wblk_a, wblk_m] + [vblk] * 11,
         out_specs=[vblk] * 8,
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.int32),
@@ -174,7 +152,8 @@ def main():
     )
     b_jit = jax.jit(lambda *a: b_call(*a))
     go = emit * act
-    dt_b = timeit(lambda: b_jit(sf, w3, *rays_c, bt1x, bt1y, bt1z, tqe, go))
+    dt_b = timeit(
+        lambda: b_jit(sf, w3a, w3m, *rays_c, bt1x, bt1y, bt1z, tqe, go))
     print(f"kernel B ({cap} blocks, D={hk.MAX_DDA_ITERS}): {dt_b*1e3:7.2f} ms  "
           f"({dt_b/cap*1e6:6.1f} us/block)", flush=True)
 
