@@ -933,35 +933,34 @@ def _intersect_padded(
          jnp.zeros(2, jnp.float32)]
     ).reshape(1, 8)
 
-    # two-rung block-cap ladder: full-cap rounds while many blocks are
-    # active, then small-cap rounds for the straggler tail (a tail round at
-    # the full cap pads its unfilled slots with inactive blocks whose
-    # kernels still run -- measured ~60% waste once <1/4 of blocks remain)
-    cap2 = min(max(nb // TAIL_DIV, 8), cap)
+    # block-cap ladder: full-cap rounds while many blocks are active, then
+    # progressively narrower rounds for the straggler tail (a round at cap
+    # C pads its unfilled slots with inactive blocks whose kernels, row
+    # gathers, and transposes all still run at full width -- traced ~3.1 ms
+    # per 63-wide tail round with only a handful of live blocks)
+    ladder = [cap]
+    for c in (max(nb // TAIL_DIV, 8), 16, 8):
+        c = min(c, ladder[-1])
+        if c < ladder[-1]:
+            ladder.append(c)
     st = _init_state(nb)
-    body1 = _make_round(
-        bricks, snodes, tabs, scal_i, sf, rays_b,
-        nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
-        interpret=False,
-    )
-    if cap2 < cap:
-        def cond1(st):
-            nblk = jnp.sum(jnp.any(st[1] == 0, axis=1).astype(I32))
-            return (st[0] < max_rounds) & (nblk > cap2)
-
-        st = jax.lax.while_loop(cond1, body1, st)
-        body2 = _make_round(
+    for k, c in enumerate(ladder):
+        body = _make_round(
             bricks, snodes, tabs, scal_i, sf, rays_b,
-            nb=nb, cap=cap2, T=T, level_rows=level_rows, shadow=shadow,
+            nb=nb, cap=c, T=T, level_rows=level_rows, shadow=shadow,
             interpret=False,
         )
-    else:
-        body2 = body1
+        if k + 1 < len(ladder):
+            nxt = ladder[k + 1]
 
-    def cond(st):
-        return (st[0] < max_rounds) & jnp.any(st[1] == 0)
+            def cond(st, nxt=nxt):
+                nblk = jnp.sum(jnp.any(st[1] == 0, axis=1).astype(I32))
+                return (st[0] < max_rounds) & (nblk > nxt)
+        else:
+            def cond(st):
+                return (st[0] < max_rounds) & jnp.any(st[1] == 0)
 
-    st = jax.lax.while_loop(cond, body2, st)
+        st = jax.lax.while_loop(cond, body, st)
     _, _, _, t_out, nmaj_out, vidx_out = st
     return (
         t_out.reshape(R), nmaj_out.reshape(R), vidx_out.reshape(R).astype(U32)
