@@ -580,16 +580,29 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
     leaf=False: walk a 16^3-BRICK supernode row (same layout), EMIT the
     first brick whose interval passes the resume key -- outputs mirror
     kernel A's (emit, child, cell planes, tq) so the driver chains
-    another row-gather + leaf stage behind it."""
+    another row-gather + leaf stage behind it.
+    (An in-kernel state-merge variant -- prev t/nmaj/vidx/resolved as
+    inputs, 5 final arrays as outputs -- was tried 2026-08-17 and measured
+    ~10% SLOWER at 256^3 and 1024^3 than leaving the where-merges to XLA:
+    the extra pallas input blocks cost more than the saved XLA pass.)"""
     if max_iters is None:
         max_iters = MAX_DDA_ITERS  # read at build time so tests can patch it
     dt_factor = 0.25 ** T  # fat-row extent / root extent per axis
 
-    def kernel(sf_ref, w_ref, m_ref, *refs):
+    def kernel(sf_ref, wl_ref, ml_ref, *refs):
         (rox, roy, roz, rdx, rdy, rdz,
          bt1x_ref, bt1y_ref, bt1z_ref, tqe_ref, go_ref,
          hit_ref, t_ref, nmaj_ref, vr_ref, p3_ref, tqp_ref,
-         more_ref, tqr_ref) = refs
+         more_ref, tqr_ref, w_ref, m_ref) = refs
+
+        # rows arrive LANE-major straight from the XLA take ([RB, words]
+        # per block); transpose to word-major in VMEM here. This kills the
+        # XLA .T between take and kernel, which cost an extra HBM
+        # read+write of the full row buffer (~4.7 ms per 524K-lane round,
+        # measured 2026-08-17: take 8.3 ms alone vs 13.0 ms fused with .T)
+        for s in range(S_BLK):
+            w_ref[:, s, :] = wl_ref[0, s * 128:(s + 1) * 128, :].T
+            m_ref[:, s, :] = ml_ref[0, s * 128:(s + 1) * 128, :].T
 
         ro = (rox[:], roy[:], roz[:])
         rd = (rdx[:], rdy[:], rdz[:])
@@ -704,8 +717,8 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         vr_ref[:] = vr
         p3_ref[:] = p3
         tqp_ref[:] = tqp
-        # lanes still working the row when the iteration cap struck resume
-        # from their coarse-cell key on the next round
+        # lanes still working the row when the iteration cap struck
+        # resume from their coarse-cell key on the next round
         more_ref[:] = active
         tqr_ref[:] = sub_tq
 
@@ -770,12 +783,14 @@ def _make_round(
 
     # brick rows ride as TWO gathers (128 occupancy words + 36 metadata
     # words): jnp.take of rows wider than one 128-lane tile prices ~4x
-    # per row (11.2 ms vs 2×~3 ms per 524K rows, scripts/gather_price2.py)
+    # per row (11.2 ms vs 2×~3 ms per 524K rows, scripts/gather_price2.py).
+    # They arrive LANE-major ([RB, words] blocks) and kernel B transposes
+    # them to word-major in VMEM itself (see _make_kernel_b).
     wblk_a = pl.BlockSpec(
-        (128, S_BLK, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (1, RB, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     wblk_m = pl.BlockSpec(
-        (BRICK_WORDS - 128, S_BLK, 128), lambda i: (0, i, 0),
+        (1, RB, BRICK_WORDS - 128), lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
     fat = snodes is not None
@@ -785,6 +800,10 @@ def _make_round(
             _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf),
             grid=(grid,),
             in_specs=[smem, wblk_a, wblk_m] + [vblk] * 11,
+            scratch_shapes=[
+                pltpu.VMEM((128, S_BLK, 128), jnp.uint32),
+                pltpu.VMEM((BRICK_WORDS - 128, S_BLK, 128), jnp.uint32),
+            ],
             out_specs=[vblk] * 8,
             out_shape=[
                 jax.ShapeDtypeStruct(shape, I32),          # hit / emit
@@ -814,8 +833,8 @@ def _make_round(
         rows_a = jnp.take(tab_a, ids, axis=0, mode="clip")  # [cap*RB, 128]
         rows_m = jnp.take(tab_m, ids, axis=0, mode="clip")  # [cap*RB, 36]
         return (
-            rows_a.T.reshape(128, s2, 128),
-            rows_m.T.reshape(BRICK_WORDS - 128, s2, 128),
+            rows_a.reshape(cap, RB, 128),
+            rows_m.reshape(cap, RB, BRICK_WORDS - 128),
         )
 
     def body(st):

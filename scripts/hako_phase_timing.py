@@ -122,22 +122,26 @@ def main():
         ids = jnp.where(emit != 0, brick, 0).reshape(-1)
         rows_a = jnp.take(tab_a, ids, axis=0, mode="clip")
         rows_m = jnp.take(tab_m, ids, axis=0, mode="clip")
-        return (rows_a.T.reshape(128, s2, 128),
-                rows_m.T.reshape(hk.BRICK_WORDS - 128, s2, 128))
+        return (rows_a.reshape(cap, hk.RB, 128),
+                rows_m.reshape(cap, hk.RB, hk.BRICK_WORDS - 128))
 
     dt_g = timeit(lambda: gather(emit, brick))
-    print(f"brick gather ({cap*hk.RB} rows, split): {dt_g*1e3:7.2f} ms",
-          flush=True)
+    print(f"brick gather ({cap*hk.RB} rows, split, lane-major): "
+          f"{dt_g*1e3:7.2f} ms", flush=True)
     w3a, w3m = gather(emit, brick)
 
-    wblk_a = pl.BlockSpec((128, hk.S_BLK, 128), lambda i: (0, i, 0),
+    wblk_a = pl.BlockSpec((1, hk.RB, 128), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    wblk_m = pl.BlockSpec((hk.BRICK_WORDS - 128, hk.S_BLK, 128),
-                          lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    wblk_m = pl.BlockSpec((1, hk.RB, hk.BRICK_WORDS - 128),
+                          lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     b_call = pl.pallas_call(
         hk._make_kernel_b(T, False, stable=False),
         grid=(cap,),
         in_specs=[smem, wblk_a, wblk_m] + [vblk] * 11,
+        scratch_shapes=[
+            pltpu.VMEM((128, hk.S_BLK, 128), jnp.uint32),
+            pltpu.VMEM((hk.BRICK_WORDS - 128, hk.S_BLK, 128), jnp.uint32),
+        ],
         out_specs=[vblk] * 8,
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.int32),
