@@ -23,6 +23,49 @@ from massivevoxelraytracing_tpu.ops import hako_kernels as hk  # noqa: E402
 from massivevoxelraytracing_tpu.utils import meshgen  # noqa: E402
 
 
+def tree_cache(grid_res):
+    """Build-once cache: a 2048^3 build costs ~10 min on the tunneled chip,
+    so sweeps store the finished HakoTree as an npz keyed by resolution."""
+    from massivevoxelraytracing_tpu.ops import hako
+
+    path = f"/tmp/hako_tree_{grid_res}.npz"
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        n_lv = int(z["n_lv"])
+        return hako.HakoTree(
+            bricks=jnp.asarray(z["bricks"]),
+            n_bricks=int(z["n_bricks"]),
+            levels=tuple(jnp.asarray(z[f"lv{i}"]) for i in range(n_lv)),
+            n_per_level=tuple(int(x) for x in z["n_per_level"]),
+            root_mask_lo=int(z["root_mask_lo"]),
+            root_mask_hi=int(z["root_mask_hi"]),
+            T=int(z["T"]), res=int(z["res"]), grid_res=int(z["grid_res"]),
+            lower=jnp.asarray(z["lower"]), upper=jnp.asarray(z["upper"]),
+            dps=float(z["dps"]),
+            snodes=(jnp.asarray(z["snodes"]) if "snodes" in z else None),
+            n_snodes=int(z["n_snodes"]),
+        )
+    tri = meshgen.bumpy_sphere(5, radius=0.9)
+    origin, dps = meshgen.fit_grid(tri, grid_res)
+    tree = scene.build_scene(
+        tri, origin=origin, dps=dps, grid_res=grid_res, accel="hako")
+    arrs = dict(
+        bricks=np.asarray(tree.bricks), n_bricks=tree.n_bricks,
+        n_lv=len(tree.levels),
+        n_per_level=np.asarray(tree.n_per_level, np.int64),
+        root_mask_lo=tree.root_mask_lo, root_mask_hi=tree.root_mask_hi,
+        T=tree.T, res=tree.res, grid_res=tree.grid_res,
+        lower=np.asarray(tree.lower), upper=np.asarray(tree.upper),
+        dps=tree.dps, n_snodes=tree.n_snodes,
+    )
+    for i, lv in enumerate(tree.levels):
+        arrs[f"lv{i}"] = np.asarray(lv)
+    if tree.snodes is not None:
+        arrs["snodes"] = np.asarray(tree.snodes)
+    np.savez(path, **arrs)
+    return tree
+
+
 def main():
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
     hk.TAIL_DIV = int(os.environ.get("TAILD", hk.TAIL_DIV))
@@ -30,10 +73,8 @@ def main():
     hk.MAX_DDA_ITERS = int(os.environ.get("D", hk.MAX_DDA_ITERS))
     grid_res = int(os.environ.get("RES", 256))
     width, height = 1920, 1088
-    tri = meshgen.bumpy_sphere(5, radius=0.9)
-    origin, dps = meshgen.fit_grid(tri, grid_res)
-    tree = scene.build_scene(
-        tri, origin=origin, dps=dps, grid_res=grid_res, accel="hako")
+    tree = tree_cache(grid_res)
+    origin, dps = np.asarray(tree.lower), tree.dps
     lo = np.asarray(origin)
     extent = float(dps) * grid_res
     center = lo + extent / 2
