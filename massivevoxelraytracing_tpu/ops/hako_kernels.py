@@ -70,7 +70,19 @@ CAP_DIV = 8                # round width = nb/CAP_DIV blocks (full-cap rung):
                            # 2026-08 sweep (scripts/cap_sweep.py): nb/8 beats
                            # nb/4 by 10% at 1024^3 (143.6 vs 158.2 ms) and
                            # ties at 256^3; nb/2 OOMs, nb/16 is 5-8% worse
-TAIL_DIV = 16              # straggler rung width = nb/TAIL_DIV blocks
+PACK_DIV = 2               # emit-dense packing: the brick-row gather and
+                           # kernel B run on cap/PACK_DIV blocks of lanes
+                           # sorted emit-first (1 disables). The row gather is
+                           # row-count-priced and ~84% of rows on early rounds
+                           # belong to non-emitting lanes; one stable
+                           # multi-operand lax.sort (the PT compaction trick,
+                           # models/pathtracer.py:205-213 -- measured 3.8 ms
+                           # at 3.7M lanes x 19 operands, so <1 ms here) packs
+                           # emitters to the front, the gather+DDA run on the
+                           # dense prefix, and a second sort by original lane
+                           # position unpermutes. Emitters past the budget
+                           # defer: they keep their kernel-A resume key (tqe)
+                           # and re-probe to the same brick next round.
 
 
 def _u(x):
@@ -758,6 +770,9 @@ def _make_round(
     grid = cap
     s2 = cap * S_BLK
     shape = (s2, 128)
+    bcap = max(cap // PACK_DIV, 1) if PACK_DIV > 1 else cap
+    pack = bcap < cap
+    s2b = bcap * S_BLK
 
     smem = pl.BlockSpec((1, 8), _rep, memory_space=pltpu.SMEM)
     vblk = pl.BlockSpec((S_BLK, 128), _blk, memory_space=pltpu.VMEM)
@@ -796,9 +811,11 @@ def _make_round(
     fat = snodes is not None
 
     def make_b(dt_exp, leaf):
+        # with packing, kernel B runs on the bcap-block dense prefix
+        bshape = (s2b, 128)
         return pl.pallas_call(
             _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf),
-            grid=(grid,),
+            grid=(bcap,),
             in_specs=[smem, wblk_a, wblk_m] + [vblk] * 11,
             scratch_shapes=[
                 pltpu.VMEM((128, S_BLK, 128), jnp.uint32),
@@ -806,14 +823,14 @@ def _make_round(
             ],
             out_specs=[vblk] * 8,
             out_shape=[
-                jax.ShapeDtypeStruct(shape, I32),          # hit / emit
-                jax.ShapeDtypeStruct(shape, jnp.float32),  # t / plane x
-                jax.ShapeDtypeStruct(shape, I32),          # nmajor / plane y
-                jax.ShapeDtypeStruct(shape, I32),          # vrank / child
-                jax.ShapeDtypeStruct(shape, jnp.float32),  # plane z (emit)
-                jax.ShapeDtypeStruct(shape, jnp.float32),  # tq pass (emit)
-                jax.ShapeDtypeStruct(shape, I32),          # more (iter-capped)
-                jax.ShapeDtypeStruct(shape, jnp.float32),  # resume sub_tq
+                jax.ShapeDtypeStruct(bshape, I32),          # hit / emit
+                jax.ShapeDtypeStruct(bshape, jnp.float32),  # t / plane x
+                jax.ShapeDtypeStruct(bshape, I32),          # nmajor / plane y
+                jax.ShapeDtypeStruct(bshape, I32),          # vrank / child
+                jax.ShapeDtypeStruct(bshape, jnp.float32),  # plane z (emit)
+                jax.ShapeDtypeStruct(bshape, jnp.float32),  # tq pass (emit)
+                jax.ShapeDtypeStruct(bshape, I32),          # more (iter-capped)
+                jax.ShapeDtypeStruct(bshape, jnp.float32),  # resume sub_tq
             ],
             interpret=interpret,
         )
@@ -830,12 +847,49 @@ def _make_round(
     def gather_rows(table_pair, emit, child):
         tab_a, tab_m = table_pair
         ids = jnp.where(emit != 0, child, 0).reshape(-1)
-        rows_a = jnp.take(tab_a, ids, axis=0, mode="clip")  # [cap*RB, 128]
-        rows_m = jnp.take(tab_m, ids, axis=0, mode="clip")  # [cap*RB, 36]
+        rows_a = jnp.take(tab_a, ids, axis=0, mode="clip")  # [bcap*RB, 128]
+        rows_m = jnp.take(tab_m, ids, axis=0, mode="clip")  # [bcap*RB, 36]
         return (
-            rows_a.reshape(cap, RB, 128),
-            rows_m.reshape(cap, RB, BRICK_WORDS - 128),
+            rows_a.reshape(bcap, RB, 128),
+            rows_m.reshape(bcap, RB, BRICK_WORDS - 128),
         )
+
+    n_lanes = cap * RB
+    m_lanes = bcap * RB
+
+    def pack_lanes(go, child, p1, p2, p3, tqe, rays_c):
+        """Stable emit-first sort of the cap-block lane state; returns the
+        bcap-block dense prefix (kernel B inputs) + the sort permutation and
+        a per-sorted-lane served flag for the unpermute."""
+        fl = [x.reshape(-1) for x in (child, p1, p2, p3, tqe, *rays_c)]
+        key = jnp.where(go.reshape(-1) != 0, jnp.uint32(0), jnp.uint32(1))
+        pos = jnp.arange(n_lanes, dtype=I32)
+        out = jax.lax.sort((key, pos, *fl), is_stable=True)
+        key_s, pos_s = out[0], out[1]
+
+        def head(x):
+            return jax.lax.slice(x, (0,), (m_lanes,)).reshape(s2b, 128)
+
+        child_p, p1p, p2p, p3p, tqep = (head(x) for x in out[2:7])
+        rays_p = [head(x) for x in out[7:13]]
+        go_p = head((key_s == 0).astype(I32))
+        served_s = (
+            (pos < m_lanes) & (key_s == 0)
+        ).astype(I32)  # in SORTED order
+        return child_p, p1p, p2p, p3p, tqep, rays_p, go_p, pos_s, served_s
+
+    def unpack_lanes(pos_s, served_s, outs, fills):
+        """Inverse permutation of pack_lanes via one sort keyed on original
+        lane position; bcap-prefix outputs are padded with inactive fills."""
+        padded = [
+            jnp.concatenate(
+                [o.reshape(-1),
+                 jnp.full((n_lanes - m_lanes,), f, o.dtype)]
+            )
+            for o, f in zip(outs, fills)
+        ]
+        res = jax.lax.sort((pos_s, served_s, *padded), is_stable=False)
+        return [x.reshape(cap * S_BLK, 128) for x in res[1:]]
 
     def body(st):
         it, resolved, t_q, t_out, nmaj_out, vidx_out = st
@@ -861,40 +915,80 @@ def _make_round(
 
         if fat:
             # stage 1: supernode row walk emits the next BRICK + planes
-            w3s_a, w3s_m = gather_rows(snodes, emit, child)
             go_s = emit * act
-            emit2, bp1, bp2i, brick, bp3, btq, more_s, tqr_s = b_snode(
-                sf, w3s_a, w3s_m, *rays_c, bt1x, bt1y, bt1z, tqe, go_s
-            )
+            if pack:
+                (child_p, b1p, b2p, b3p, tqep, rays_p, go_p, pos_s,
+                 served_s) = pack_lanes(
+                    go_s, child, bt1x, bt1y, bt1z, tqe, rays_c)
+                w3s_a, w3s_m = gather_rows(snodes, go_p, child_p)
+                emit2p, bp1p, bp2ip, brickp, bp3p, btqp, more_sp, tqr_sp = (
+                    b_snode(sf, w3s_a, w3s_m, *rays_p,
+                            b1p, b2p, b3p, tqep, go_p))
+                (served1, emit2, bp1, bp2f, brick, bp3, btq, more_s,
+                 tqr_s) = unpack_lanes(
+                    pos_s, served_s,
+                    [emit2p, bp1p,
+                     jax.lax.bitcast_convert_type(bp2ip, jnp.float32),
+                     brickp, bp3p, btqp, more_sp, tqr_sp],
+                    [0, 0.0, 0.0, 0, 0.0, 0.0, 0, 0.0])
+            else:
+                w3s_a, w3s_m = gather_rows(snodes, emit, child)
+                emit2, bp1, bp2i, brick, bp3, btq, more_s, tqr_s = b_snode(
+                    sf, w3s_a, w3s_m, *rays_c, bt1x, bt1y, bt1z, tqe, go_s
+                )
+                bp2f = jax.lax.bitcast_convert_type(bp2i, jnp.float32)
+                served1 = go_s
             # lanes whose supernode held nothing past tq advance to the
             # supernode exit (same planes the kernel consumed); capped
-            # lanes resume from their coarse key
+            # lanes resume from their coarse key; emitters past the pack
+            # budget re-probe from their kernel-A emit key
             tqn = jnp.where(
-                (emit != 0) & (emit2 == 0),
-                jnp.where(more_s != 0, tqr_s, _min3(bt1x, bt1y, bt1z)),
-                tqn,
+                (go_s != 0) & (served1 == 0),
+                tqe,
+                jnp.where(
+                    (go_s != 0) & (emit2 == 0),
+                    jnp.where(more_s != 0, tqr_s, _min3(bt1x, bt1y, bt1z)),
+                    tqn,
+                ),
             )
             emit = emit2
             bt1x = bp1
-            bt1y = jax.lax.bitcast_convert_type(bp2i, jnp.float32)
+            bt1y = bp2f
             bt1z = bp3
             tqe = btq
             child = brick
 
-        w3_a, w3_m = gather_rows(bricks, emit, child)
         go = emit * act
-        hit, t_hit, nmaj, vr, _p3, _tqp, more, tq_resume = b_leaf(
-            sf, w3_a, w3_m, *rays_c, bt1x, bt1y, bt1z, tqe, go
-        )
+        if pack:
+            (child_p, b1p, b2p, b3p, tqep, rays_p, go_p, pos_s,
+             served_s) = pack_lanes(
+                go, child, bt1x, bt1y, bt1z, tqe, rays_c)
+            w3_a, w3_m = gather_rows(bricks, go_p, child_p)
+            hitp, tp, nmajp, vrp, _p3, _tqp, morep, tqrp = b_leaf(
+                sf, w3_a, w3_m, *rays_p, b1p, b2p, b3p, tqep, go_p)
+            served2, hit, t_hit, nmaj, vr, more, tq_resume = unpack_lanes(
+                pos_s, served_s, [hitp, tp, nmajp, vrp, morep, tqrp],
+                [0, 0.0, -1, 0, 0, 0.0])
+        else:
+            w3_a, w3_m = gather_rows(bricks, emit, child)
+            hit, t_hit, nmaj, vr, _p3, _tqp, more, tq_resume = b_leaf(
+                sf, w3_a, w3_m, *rays_c, bt1x, bt1y, bt1z, tqe, go
+            )
+            served2 = go
         # resume key: lanes the DDA iteration cap stopped mid-brick resume
         # from their sub-brick key; finished bricks resume from the brick
         # exit, derived from the SAME bt1 planes the DDA kernel consumes
         # (not the kernel-internal min3, which an XLA rematerialization
-        # could compute with different rounding)
+        # could compute with different rounding); emitters past the pack
+        # budget re-probe from the brick emit key (tqe) next round
         tqn = jnp.where(
-            emit != 0,
-            jnp.where(more != 0, tq_resume, _min3(bt1x, bt1y, bt1z)),
-            tqn,
+            (go != 0) & (served2 == 0),
+            tqe,
+            jnp.where(
+                go != 0,
+                jnp.where(more != 0, tq_resume, _min3(bt1x, bt1y, bt1z)),
+                tqn,
+            ),
         )
         newhit = (act != 0) & (hit != 0)
         t_c = jnp.where(newhit, t_hit, pick(t_out))
@@ -936,13 +1030,18 @@ def _init_state(nb):
 )
 def _intersect_padded(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
-    T: int, level_rows: tuple, shadow: bool, max_rounds: int = 256,
+    T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None,
 ):
     """TPU path: jitted while_loop of block-compacted rounds."""
     R = ro.shape[0]
     nb = R // RB
     cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
+    if max_rounds is None:
+        # every block needs ~(brick visits per lane) picks; narrow caps
+        # (the 2048^3 optimum is nb/64) need proportionally more rounds --
+        # a fixed 256 silently truncated narrow-cap frames to wrong misses
+        max_rounds = 64 * max(nb // cap, 1) + 256
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -956,12 +1055,16 @@ def _intersect_padded(
     # progressively narrower rounds for the straggler tail (a round at cap
     # C pads its unfilled slots with inactive blocks whose kernels, row
     # gathers, and transposes all still run at full width -- traced ~3.1 ms
-    # per 63-wide tail round with only a handful of live blocks)
+    # per 63-wide tail round with only a handful of live blocks). Rungs
+    # halve geometrically: each rung runs while more than the NEXT rung's
+    # width of blocks is active, so padding waste is bounded at ~2x
+    # everywhere on the decay curve (measured 2026-08-17 at 2048^3:
+    # [144,16,8] = 738 ms, [144,72,16,8] = 622 ms, geometric = see STATUS)
     ladder = [cap]
-    for c in (max(nb // TAIL_DIV, 8), 16, 8):
-        c = min(c, ladder[-1])
-        if c < ladder[-1]:
-            ladder.append(c)
+    while ladder[-1] > 16:
+        ladder.append(max(ladder[-1] // 2, 16))
+    if ladder[-1] > 8:
+        ladder.append(8)
     st = _init_state(nb)
     for k, c in enumerate(ladder):
         body = _make_round(
@@ -988,7 +1091,7 @@ def _intersect_padded(
 
 def _intersect_padded_eager(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
-    T: int, level_rows: tuple, shadow: bool, max_rounds: int = 256,
+    T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None,
 ):
     """CPU/interpret path: the same rounds driven by a Python loop.
@@ -1003,6 +1106,8 @@ def _intersect_padded_eager(
     R = ro.shape[0]
     nb = R // RB
     cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
+    if max_rounds is None:
+        max_rounds = 64 * max(nb // cap, 1) + 256
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -1027,7 +1132,8 @@ def _intersect_padded_eager(
 
 def intersect_rays_hako(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
-    T: int, level_rows: tuple, shadow: bool = False, max_rounds: int = 256,
+    T: int, level_rows: tuple, shadow: bool = False,
+    max_rounds: int | None = None,
     interpret: bool | None = None, cap_blocks: int | None = None,
 ):
     """Full-frame traversal; pads the ray count to a multiple of 2048."""

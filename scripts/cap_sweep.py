@@ -1,6 +1,6 @@
-"""Sweep the round-width knobs (CAP_DIV full rung, TAIL_DIV straggler
-rung) on the production render_frame path. One combo per process run
-(env CAPD/TAILD/RES) so jit caches cannot go stale."""
+"""Sweep the round-width knobs (CAP_DIV full rung; tail rungs halve
+geometrically) on the production render_frame path. One combo per
+process run (env CAPD/P/D/RES) so jit caches cannot go stale."""
 
 import os
 import sys
@@ -68,7 +68,7 @@ def tree_cache(grid_res):
 
 def main():
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
-    hk.TAIL_DIV = int(os.environ.get("TAILD", hk.TAIL_DIV))
+    hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
     hk.MAX_PROBES = int(os.environ.get("P", hk.MAX_PROBES))
     hk.MAX_DDA_ITERS = int(os.environ.get("D", hk.MAX_DDA_ITERS))
     grid_res = int(os.environ.get("RES", 256))
@@ -84,16 +84,20 @@ def main():
 
     def frame_sum():
         img, depth = raycast.render_frame(tree, cam, width, height)
-        return float(jnp.sum(jnp.where(depth < 1e37, depth, 0.0)))
+        fin = depth < 1e37
+        return (float(jnp.sum(jnp.where(fin, depth, 0.0))),
+                int(jnp.sum(fin.astype(jnp.int32))))
 
-    frame_sum()
+    csum, nhit = frame_sum()
     t0 = time.time()
     iters = 4
     for _ in range(iters):
         frame_sum()
     dt = (time.time() - t0) / iters
-    print(f"RES={grid_res} CAPD={hk.CAP_DIV} TAILD={hk.TAIL_DIV} P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS}: "
-          f"{dt*1e3:.1f} ms = {width*height/dt/1e6:.1f} Mrays/s", flush=True)
+    print(f"RES={grid_res} CAPD={hk.CAP_DIV} PACKD={hk.PACK_DIV} "
+          f"P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS}: "
+          f"{dt*1e3:.1f} ms = {width*height/dt/1e6:.1f} Mrays/s "
+          f"checksum={csum:.2f} hits={nhit}", flush=True)
 
 
 if __name__ == "__main__":

@@ -68,10 +68,10 @@ def main():
                           jnp.zeros(2, jnp.float32)]).reshape(1, 8)
 
     ladder = [cap]
-    for c in (max(nb // hk.TAIL_DIV, 8), 16, 8):
-        c = min(c, ladder[-1])
-        if c < ladder[-1]:
-            ladder.append(c)
+    while ladder[-1] > 16:
+        ladder.append(max(ladder[-1] // 2, 16))
+    if ladder[-1] > 8:
+        ladder.append(8)
     print(f"nb={nb} ladder={ladder}", flush=True)
 
     bodies = {

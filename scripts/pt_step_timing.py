@@ -29,7 +29,7 @@ def main():
     hk.MAX_PROBES = int(os.environ.get("P", hk.MAX_PROBES))
     hk.MAX_DDA_ITERS = int(os.environ.get("D", hk.MAX_DDA_ITERS))
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
-    hk.TAIL_DIV = int(os.environ.get("TAILD", hk.TAIL_DIV))
+    hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
     width, height = 640, 360
 
     tri = meshgen.bumpy_sphere(5, radius=0.9)

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-2 validation + PACK_DIV sweep. One process per combo (jit caches
+# cannot go stale across module-constant changes). Appends to $LOG.
+LOG=${LOG:-/tmp/sweep_r2.log}
+cd /root/repo
+run() {
+  echo "--- RES=$1 CAPD=$2 PACKD=$3 $(date +%H:%M:%S)" >> "$LOG"
+  RES=$1 CAPD=$2 PACKD=$3 timeout 3000 python scripts/cap_sweep.py >> "$LOG" 2>&1
+}
+# 1) geometric-ladder validation without packing (pending from last session)
+run 256 8 1
+run 1024 8 1
+# 2) packing sweep
+run 256 8 2
+run 1024 8 2
+run 1024 8 4
+run 256 8 4
+# 3) 2048^3: validate geometric ladder at the known-best CAPD=64, then pack
+run 2048 64 1
+run 2048 64 2
+run 2048 64 4
+run 2048 32 2
+echo "SWEEP DONE $(date)" >> "$LOG"
