@@ -143,6 +143,61 @@ def test_hako_snode_levels_match_brute_force():
     assert hit.mean() > 0.5
 
 
+def test_hako_16k_grid_matches_brute_force():
+    """16384^3 -- the reference's demonstrated max scale (654M voxels on a
+    24 GB GPU, renderer_introduction.pdf p.8). A sparse cluster keeps the
+    CPU cost tiny while exercising the full supernode chain and the float
+    parametrization at dps = 1/16384 (voxel extents near the f32 ulp of
+    the scene extent)."""
+    grid_res = 16384
+    dps = 1.0 / grid_res
+    base = RNG.integers(0, grid_res // 64, size=(24, 3)).astype(np.uint32) * 64
+    off = RNG.integers(0, 48, size=(50, 24, 3)).astype(np.uint32)
+    c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
+    m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    tree = make_tree(m, grid_res, dps)
+    assert tree.snodes is not None
+    got = hako.voxels_from_tree(tree)
+    np.testing.assert_array_equal(got, m)
+
+    n = 96
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro).astype(np.float32)
+    hit = compare_vs_oracle(tree, m, dps, ro, rd)
+    assert hit.mean() > 0.5
+
+
+@pytest.mark.parametrize("grid_res", [256, 2048])
+def test_hako_pack_budget_equivalence(grid_res, monkeypatch):
+    """Emit-dense packing is a pure reordering: a narrow gather budget
+    (cap=2 blocks, bcap=1, so half the lanes defer and re-probe from their
+    resume key every round) must produce bit-identical results to packing
+    disabled. 2048^3 exercises the two-stage supernode chain's packing."""
+    dps = 1.0 / grid_res
+    if grid_res > 256:
+        base = RNG.integers(0, grid_res // 8, size=(40, 3)).astype(np.uint32) * 8
+        off = RNG.integers(0, 24, size=(50, 40, 3)).astype(np.uint32)
+        c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
+        m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    else:
+        m = random_voxels(grid_res, 20000)
+    tree = make_tree(m, grid_res, dps)
+    n = 4096  # 2 ray blocks; CAP_DIV=1 makes cap=2 so packing engages
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro + RNG.normal(size=(n, 3)) * 0.2).astype(np.float32)
+    monkeypatch.setattr(hako_kernels, "CAP_DIV", 1)
+    monkeypatch.setattr(hako_kernels, "PACK_DIV", 1)
+    ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    monkeypatch.setattr(hako_kernels, "PACK_DIV", 2)
+    got = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
 def test_hako_snode_capped_resume(monkeypatch):
     """Every snode-chain resume path must be exercised and change nothing:
     1 probe per kernel-A call and 1 coarse-cell visit per DDA call."""
