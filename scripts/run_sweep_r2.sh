@@ -15,9 +15,14 @@ run 256 8 2
 run 1024 8 2
 run 1024 8 4
 run 256 8 4
-# 3) 2048^3: validate geometric ladder at the known-best CAPD=64, then pack
+# 3) packing makes wide rounds cheap (dead lanes skip the gather): try
+#    wider caps with deeper packing
+run 1024 4 4
+run 256 4 4
+# 4) 2048^3: validate geometric ladder at the known-best CAPD=64, then pack
 run 2048 64 1
 run 2048 64 2
 run 2048 64 4
-run 2048 32 2
+run 2048 32 4
+run 2048 16 4
 echo "SWEEP DONE $(date)" >> "$LOG"
