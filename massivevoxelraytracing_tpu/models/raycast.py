@@ -27,16 +27,10 @@ def _next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
-@partial(jax.jit, static_argnames=("kind", "depth", "show_color"))
-def _render_packet(
-    meta, root, lower, upper, color_table,
-    ro, rd, *, kind: str, depth: int, show_color: bool,
-):
+@partial(jax.jit, static_argnames=("show_color",))
+def _shade_flat(color_table, rd, t, nmaj, vidx, *, show_color: bool):
     from ..ops import traverse
 
-    t, nmaj, vidx = accel_lib.intersect_with(
-        kind, depth, meta, root, lower, upper, ro, rd
-    )
     hit = t < 1e37
     if show_color:
         col = rgb8_to_f32(jnp.take(color_table, vidx.astype(jnp.int32), mode="clip"))
@@ -46,6 +40,24 @@ def _render_packet(
     rgb = jnp.where(hit[:, None], col, 0.0)
     img = jnp.clip(rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
     return img, t
+
+
+def _hako_eager(kind: str) -> bool:
+    """hako's CPU path drives interpret-mode kernel rounds from a Python
+    loop (ops/hako_kernels.py:_intersect_padded_eager) and cannot sit under
+    an outer jit; stitch eagerly around it instead."""
+    return kind == "hako" and jax.default_backend() != "tpu"
+
+
+@partial(jax.jit, static_argnames=("kind", "depth", "show_color"))
+def _render_packet(
+    meta, root, lower, upper, color_table,
+    ro, rd, *, kind: str, depth: int, show_color: bool,
+):
+    t, nmaj, vidx = accel_lib.intersect_with(
+        kind, depth, meta, root, lower, upper, ro, rd
+    )
+    return _shade_flat(color_table, rd, t, nmaj, vidx, show_color=show_color)
 
 
 def render_rays(tree, ro: np.ndarray, rd: np.ndarray,
@@ -67,11 +79,21 @@ def render_rays(tree, ro: np.ndarray, rd: np.ndarray,
     ts = []
     for k in range(n_pad // packet):
         sl = slice(k * packet, (k + 1) * packet)
-        img, t = _render_packet(
-            meta, root, tree.lower, tree.upper, color,
-            jnp.asarray(ro[sl]), jnp.asarray(rd[sl]),
-            kind=kind, depth=depth, show_color=show_color,
-        )
+        if _hako_eager(kind):
+            rd_j = jnp.asarray(rd[sl])
+            t, nmaj, vidx = accel_lib.intersect_with(
+                kind, depth, meta, root, tree.lower, tree.upper,
+                jnp.asarray(ro[sl]), rd_j,
+            )
+            img, t = _shade_flat(
+                color, rd_j, t, nmaj, vidx, show_color=show_color
+            )
+        else:
+            img, t = _render_packet(
+                meta, root, tree.lower, tree.upper, color,
+                jnp.asarray(ro[sl]), jnp.asarray(rd[sl]),
+                kind=kind, depth=depth, show_color=show_color,
+            )
         imgs.append(img)
         ts.append(t)
     img = jnp.concatenate(imgs)[:n]
@@ -115,19 +137,15 @@ def _cached_order(width: int, height: int, packet: int):
 TILE = 128  # pixel tile edge: traversal blocks get spatially coherent rays
 
 
-@partial(jax.jit, static_argnames=("width", "height", "kind", "depth",
-                                   "show_color"))
-def _render_frame_device(
-    meta, root, lower, upper, color_table,
+@partial(jax.jit, static_argnames=("width", "height"))
+def _gen_rays_tiled(
     cam_o, cam_right, cam_up, cam_front, tan_half_fovy,
-    *, width: int, height: int, kind: str, depth: int, show_color: bool,
+    *, width: int, height: int,
 ):
-    """Whole frame in one dispatch: device-side ray generation from camera
-    scalars (per-frame H2D = a few floats; host ray upload at 48 MB/frame
-    was costing more than the traversal), traversal, shading.
-
-    Rays are generated directly in 128x128-tile-major order (arithmetic on
-    the lane index -- no order array), so the final un-permutation is a pure
+    """Device-side ray generation from camera scalars (per-frame H2D = a few
+    floats; host ray upload at 48 MB/frame was costing more than the
+    traversal), directly in 128x128-tile-major order (arithmetic on the lane
+    index -- no order array), so the final un-permutation is a pure
     reshape/transpose instead of two 2M-row gathers that used to cost ~50 ms
     of the 1080p frame on this backend's gather pricing."""
     ntx = -(-width // TILE)
@@ -148,30 +166,47 @@ def _render_frame_device(
     v = th - 2.0 * th * (pyf + 0.5) / height
     rd = u[:, None] * cam_right + v[:, None] * cam_up + cam_front
     ro = jnp.where(live[:, None], cam_o[None, :], 1e9)
+    return ro, rd
 
-    t, nmaj, vidx = accel_lib.intersect_with(
-        kind, depth, meta, root, lower, upper, ro, rd
-    )
-    hit = t < 1e37
-    if show_color:
-        from ..ops.voxelize import rgb8_to_f32 as _r
 
-        col = _r(jnp.take(color_table, vidx.astype(jnp.int32), mode="clip"))
-    else:
-        from ..ops import traverse
-
-        hn = traverse.hit_normal(nmaj, rd)
-        col = (hn + 1.0) * 0.5
-    rgb = jnp.where(hit[:, None], col, 0.0)
-    img = jnp.clip(rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+@partial(jax.jit, static_argnames=("width", "height", "show_color"))
+def _shade_untile(
+    color_table, rd, t, nmaj, vidx,
+    *, width: int, height: int, show_color: bool,
+):
+    ntx = -(-width // TILE)
+    nty = -(-height // TILE)
+    img, t = _shade_flat(color_table, rd, t, nmaj, vidx,
+                         show_color=show_color)
 
     def untile(x):
         c = x.shape[1:]
         y = x.reshape((nty, ntx, TILE, TILE) + c)
         y = jnp.transpose(y, (0, 2, 1, 3) + tuple(4 + i for i in range(len(c))))
-        return y.reshape((h2, w2) + c)[:height, :width]
+        return y.reshape((nty * TILE, ntx * TILE) + c)[:height, :width]
 
     return untile(img), untile(t)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "kind", "depth",
+                                   "show_color"))
+def _render_frame_device(
+    meta, root, lower, upper, color_table,
+    cam_o, cam_right, cam_up, cam_front, tan_half_fovy,
+    *, width: int, height: int, kind: str, depth: int, show_color: bool,
+):
+    """Whole frame in one dispatch: device raygen, traversal, shading."""
+    ro, rd = _gen_rays_tiled(
+        cam_o, cam_right, cam_up, cam_front, tan_half_fovy,
+        width=width, height=height,
+    )
+    t, nmaj, vidx = accel_lib.intersect_with(
+        kind, depth, meta, root, lower, upper, ro, rd
+    )
+    return _shade_untile(
+        color_table, rd, t, nmaj, vidx,
+        width=width, height=height, show_color=show_color,
+    )
 
 
 def render_frame(tree, cam: camera_ops.Camera,
@@ -181,10 +216,21 @@ def render_frame(tree, cam: camera_ops.Camera,
     what they actually need."""
     kind, depth, meta, root = accel_lib.accel_args(tree)
     color = tree.color if tree.color is not None else jnp.zeros(1, jnp.uint32)
-    return _render_frame_device(
-        meta, root, tree.lower, tree.upper, color,
+    cam_args = (
         jnp.asarray(cam.o), jnp.asarray(cam.right), jnp.asarray(cam.up),
         jnp.asarray(cam.front), jnp.float32(cam.tan_half_fovy),
+    )
+    if _hako_eager(kind):
+        ro, rd = _gen_rays_tiled(*cam_args, width=width, height=height)
+        t, nmaj, vidx = accel_lib.intersect_with(
+            kind, depth, meta, root, tree.lower, tree.upper, ro, rd
+        )
+        return _shade_untile(
+            color, rd, t, nmaj, vidx,
+            width=width, height=height, show_color=show_color,
+        )
+    return _render_frame_device(
+        meta, root, tree.lower, tree.upper, color, *cam_args,
         width=width, height=height, kind=kind, depth=depth,
         show_color=show_color,
     )

@@ -294,29 +294,26 @@ def _flat_table(mask_lo, mask_hi, base) -> np.ndarray:
     return tab
 
 
-def build_hako(
-    m_hi, m_lo, n_voxels: int, grid_res: int, *,
-    lower=None, dps: float = 1.0, color=None, emission=None,
-    has_emission: bool = False,
-) -> HakoTree:
-    """Build from sorted unique Morton pairs (padded arrays, n_voxels valid)."""
+def _assemble_above(g_bm, nb: int, grid_res: int):
+    """Everything above the brick rows, from the sorted brick Mortons alone:
+    (snode_rows, n_snodes, levels, n_per_level, root_lo, root_hi, T, res4h).
+
+    g_bm: u32 [nb_pad] sorted brick Mortons, INVALID-padded past nb. Shared
+    by build_hako (which derives g_bm from the full voxel stream) and
+    build_hako_stream (which never holds the full voxel stream at all)."""
     from .octree import bucket
 
     T = top_levels_for(grid_res)
     snody = use_snodes_for(grid_res)
     res4h = (256 if snody else 16) * 4 ** T
 
-    p0 = m_hi.shape[0]
-    valid = jnp.arange(p0, dtype=I32) < n_voxels
-    bm_all = jnp.where(valid, (m_hi << 20) | (m_lo >> 12), _c(INVALID))
+    nb_pad = g_bm.shape[0]
+    valid_b = jnp.arange(nb_pad, dtype=I32) < nb
+    bm_sorted = jnp.where(valid_b, g_bm, _c(INVALID))
     n_above = T + (2 if snody else 0)
-    counts = np.asarray(_level_counts(bm_all, valid, n_levels=n_above))
-    nb = int(counts[0])
+    counts = np.asarray(_level_counts(bm_sorted, valid_b, n_levels=n_above))
+    assert counts[0] == nb
     assert counts[n_above] == 1, f"root must be single, got {counts[n_above]}"
-    assert nb < (1 << 24), f"brick count {nb} exceeds capacity"
-
-    nb_pad = bucket(nb)
-    rows, g_bm, _ = _build_bricks(m_hi, m_lo, jnp.int32(n_voxels), nb_pad=nb_pad)
 
     snode_rows = None
     n_snodes = 0
@@ -325,8 +322,6 @@ def build_hako(
         # mortons (bm < 2^24 fits the lo limb; hi = 0), so a supernode =
         # a 4096-bit occupancy over its 16^3 bricks with base = the rank
         # of its first brick
-        valid_b = jnp.arange(nb_pad, dtype=I32) < nb
-        bm_sorted = jnp.where(valid_b, g_bm, _c(INVALID))
         ns = int(counts[2])
         assert ns < (1 << 24), f"snode count {ns} exceeds capacity"
         ns_pad = bucket(ns)
@@ -337,7 +332,7 @@ def build_hako(
         t_m0, n_in0 = g_sm, ns
         count_base = 2
     else:
-        t_m0, n_in0 = g_bm, nb
+        t_m0, n_in0 = bm_sorted, nb
         count_base = 0
 
     # top levels 1..T-1 as kernel tables; level T = root scalars
@@ -370,6 +365,29 @@ def build_hako(
     root_mask_lo = int(np.asarray(lv["mask_lo"])[0])
     root_mask_hi = int(np.asarray(lv["mask_hi"])[0])
     assert int(np.asarray(lv["base"])[0]) == 0
+    return (snode_rows, n_snodes, tuple(levels), tuple(n_per_level),
+            root_mask_lo, root_mask_hi, T, res4h)
+
+
+def build_hako(
+    m_hi, m_lo, n_voxels: int, grid_res: int, *,
+    lower=None, dps: float = 1.0, color=None, emission=None,
+    has_emission: bool = False,
+) -> HakoTree:
+    """Build from sorted unique Morton pairs (padded arrays, n_voxels valid)."""
+    from .octree import bucket
+
+    p0 = m_hi.shape[0]
+    valid = jnp.arange(p0, dtype=I32) < n_voxels
+    bm_all = jnp.where(valid, (m_hi << 20) | (m_lo >> 12), _c(INVALID))
+    nb = int(np.asarray(_level_counts(bm_all, valid, n_levels=0))[0])
+    assert nb < (1 << 24), f"brick count {nb} exceeds capacity"
+
+    nb_pad = bucket(nb)
+    rows, g_bm, _ = _build_bricks(m_hi, m_lo, jnp.int32(n_voxels), nb_pad=nb_pad)
+
+    (snode_rows, n_snodes, levels, n_per_level, root_mask_lo, root_mask_hi,
+     T, res4h) = _assemble_above(g_bm, nb, grid_res)
 
     if lower is None:
         lower = np.zeros(3, np.float32)

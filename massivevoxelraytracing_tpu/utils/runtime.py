@@ -16,7 +16,22 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def setup(cache_dir: str | None = None) -> None:
+    # MVRT_PLATFORM=cpu: run any app/script on the host CPU (smoke tests,
+    # tunnel outages). Must go through jax.config -- this environment pins
+    # JAX_PLATFORMS=axon via sitecustomize, clobbering the env var alone
+    # (same dance as tests/conftest.py and __graft_entry__.dryrun_multichip).
+    plat = os.environ.get("MVRT_PLATFORM")
+    if plat:
+        os.environ["JAX_PLATFORM_NAME"] = plat
+        os.environ["JAX_PLATFORMS"] = plat
+
     import jax
+
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
 
     cache = cache_dir or os.environ.get("MVRT_JAX_CACHE", _DEFAULT_CACHE)
     os.makedirs(cache, exist_ok=True)

@@ -3,6 +3,10 @@
 # cannot go stale across module-constant changes). Appends to $LOG.
 LOG=${LOG:-/tmp/sweep_r2.log}
 cd /root/repo
+# 0) quick probes first (2 min): per-row DMA gather pricing decides whether
+#    a DMA-fed kernel B is worth building
+echo "--- DMA PROBE $(date +%H:%M:%S)" >> "$LOG"
+timeout 900 python scripts/dma_gather_probe3.py >> "$LOG" 2>&1
 run() {
   echo "--- RES=$1 CAPD=$2 PACKD=$3 $(date +%H:%M:%S)" >> "$LOG"
   RES=$1 CAPD=$2 PACKD=$3 timeout 3000 python scripts/cap_sweep.py >> "$LOG" 2>&1
