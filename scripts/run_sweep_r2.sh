@@ -23,6 +23,15 @@ run 256 8 4
 #    wider caps with deeper packing
 run 1024 4 4
 run 256 4 4
+# 3.5) reference-max scale axis: streamed build + render. 4096^3 rung
+#      first (validates the streamed path + fills jit caches), then the
+#      16k^3 / ~654M-voxel headline (renderer_introduction.pdf p.8)
+echo "--- SCALE 4096 $(date +%H:%M:%S)" >> "$LOG"
+RES=4096 CUBE=512 COLOR=1 OUT=out/scale_shell_4k.png \
+  timeout 3600 python scripts/scale_shell.py >> "$LOG" 2>&1
+echo "--- SCALE 16384 $(date +%H:%M:%S)" >> "$LOG"
+RES=16384 CUBE=1024 TARGET=654e6 OUT=out/scale_shell_16k.png \
+  timeout 7200 python scripts/scale_shell.py >> "$LOG" 2>&1
 # 4) 2048^3: validate geometric ladder at the known-best CAPD=64, then pack
 run 2048 64 1
 run 2048 64 2

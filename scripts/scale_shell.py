@@ -67,7 +67,11 @@ def main():
     )
 
     t0 = time.time()
-    tree = hako_stream.build_hako_stream(terrain.chunks(), res)
+    # tunneled chips read back at ~10 MB/s: park rows on device there
+    park = os.environ.get(
+        "PARK", "device" if jax.default_backend() == "tpu" else "host"
+    )
+    tree = hako_stream.build_hako_stream(terrain.chunks(), res, park=park)
     build_s = time.time() - t0
     print(
         f"[shell] voxels={tree.n_voxels/1e6:.1f}M bricks={tree.n_bricks} "

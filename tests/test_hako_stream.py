@@ -83,6 +83,27 @@ def test_stream_build_equals_monolithic(terrain, streamed):
         )
 
 
+def test_device_park_equals_host_park(terrain, streamed):
+    """park='device' (rows never leave the chip; one batched ordering
+    check) must be bit-identical to the host-parking default."""
+    dev = hako_stream.build_hako_stream(
+        terrain.chunks(), 256, park="device"
+    )
+    host = streamed
+    assert dev.n_voxels == host.n_voxels
+    assert dev.n_bricks == host.n_bricks
+    assert dev.n_per_level == host.n_per_level
+    assert (dev.root_mask_lo, dev.root_mask_hi) == (
+        host.root_mask_lo, host.root_mask_hi
+    )
+    nb = dev.n_bricks
+    np.testing.assert_array_equal(
+        np.asarray(dev.bricks[:nb]), np.asarray(host.bricks[:nb])
+    )
+    for a, b in zip(dev.levels, host.levels):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stream_attributes_match_global_sort():
     """Chunk-local color sort + chunk-order concatenation == one global
     (morton, color) sort: the invariant that lets attributes stream without
