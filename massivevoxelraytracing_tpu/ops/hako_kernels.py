@@ -70,6 +70,19 @@ CAP_DIV = 8                # round width = nb/CAP_DIV blocks (full-cap rung):
                            # 2026-08 sweep (scripts/cap_sweep.py): nb/8 beats
                            # nb/4 by 10% at 1024^3 (143.6 vs 158.2 ms) and
                            # ties at 256^3; nb/2 OOMs, nb/16 is 5-8% worse
+UNIQ = 0                   # per-block dedup-gather budget (0 disables).
+                           # Rays in a block share one 128x128 pixel tile, so
+                           # lockstep rounds want few DISTINCT brick rows:
+                           # measured 13-48 unique ids per 2048-lane block at
+                           # 256^3 (62x duplication among emitting lanes,
+                           # scripts/dup_stats.py). With UNIQ=U, three
+                           # per-block lax.sorts build (unique ids, per-lane
+                           # rank); the HBM gather shrinks to U rows/block and
+                           # kernel B regathers per lane from the U-row VMEM
+                           # table with byte-split one-hot bf16 MXU matmuls
+                           # (exact: products are single 0/1 x <=255 terms --
+                           # kernel A's node-fetch trick). Lanes ranked past
+                           # the budget defer exactly like pack overflow.
 PACK_DIV = 2               # emit-dense packing: the brick-row gather and
                            # kernel B run on cap/PACK_DIV blocks of lanes
                            # sorted emit-first (1 disables). The row gather is
@@ -83,6 +96,11 @@ PACK_DIV = 2               # emit-dense packing: the brick-row gather and
                            # position unpermutes. Emitters past the budget
                            # defer: they keep their kernel-A resume key (tqe)
                            # and re-probe to the same brick next round.
+
+
+TRACE_GATHER = None  # eager-mode stats hook: scripts/dup_stats.py appends
+                     # (ids, emit) per round's row gather to measure brick-id
+                     # duplication within blocks (dedup-gather sizing)
 
 
 def _u(x):
@@ -587,7 +605,8 @@ def _fold_select(items, sel_bits, nbits):
 
 
 def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
-                   max_iters: int | None = None, leaf: bool = True):
+                   max_iters: int | None = None, leaf: bool = True,
+                   dedup_u: int = 0):
     """leaf=True: walk a 16^3-VOXEL brick, report the first voxel hit.
     leaf=False: walk a 16^3-BRICK supernode row (same layout), EMIT the
     first brick whose interval passes the resume key -- outputs mirror
@@ -601,20 +620,48 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         max_iters = MAX_DDA_ITERS  # read at build time so tests can patch it
     dt_factor = 0.25 ** T  # fat-row extent / root extent per axis
 
-    def kernel(sf_ref, wl_ref, ml_ref, *refs):
+    def kernel(sf_ref, *allrefs):
+        if dedup_u:
+            u0_ref, u1_ref, u2_ref, u3_ref, rank_ref = allrefs[:5]
+            refs = allrefs[5:]
+        else:
+            wl_ref, ml_ref = allrefs[:2]
+            refs = allrefs[2:]
         (rox, roy, roz, rdx, rdy, rdz,
          bt1x_ref, bt1y_ref, bt1z_ref, tqe_ref, go_ref,
          hit_ref, t_ref, nmaj_ref, vr_ref, p3_ref, tqp_ref,
          more_ref, tqr_ref, w_ref, m_ref) = refs
 
-        # rows arrive LANE-major straight from the XLA take ([RB, words]
-        # per block); transpose to word-major in VMEM here. This kills the
-        # XLA .T between take and kernel, which cost an extra HBM
-        # read+write of the full row buffer (~4.7 ms per 524K-lane round,
-        # measured 2026-08-17: take 8.3 ms alone vs 13.0 ms fused with .T)
-        for s in range(S_BLK):
-            w_ref[:, s, :] = wl_ref[0, s * 128:(s + 1) * 128, :].T
-            m_ref[:, s, :] = ml_ref[0, s * 128:(s + 1) * 128, :].T
+        if dedup_u:
+            # regather this block's rows from the U-row unique table:
+            # word-major [words, lanes] comes straight out of
+            # uniq[words, U] @ onehot[U, lanes] -- no transpose stage.
+            # Byte-split bf16 keeps every term a single 0/1 x <=255
+            # product (exact; same trick as the node tables).
+            U = dedup_u
+            rk = rank_ref[:].reshape(1, S_BLK * 128)
+            oh = (
+                jax.lax.broadcasted_iota(I32, (U, S_BLK * 128), 0) == rk
+            ).astype(jnp.bfloat16)
+            acc = None
+            for b, uref in enumerate((u0_ref, u1_ref, u2_ref, u3_ref)):
+                pb = jnp.dot(
+                    uref[0], oh, preferred_element_type=jnp.float32
+                ).astype(jnp.uint32) << (8 * b)
+                acc = pb if acc is None else acc | pb
+            full = acc.reshape(BRICK_WORDS, S_BLK, 128)
+            w_ref[:, :, :] = full[:128]
+            m_ref[:, :, :] = full[128:]
+        else:
+            # rows arrive LANE-major straight from the XLA take ([RB,
+            # words] per block); transpose to word-major in VMEM here.
+            # This kills the XLA .T between take and kernel, which cost an
+            # extra HBM read+write of the full row buffer (~4.7 ms per
+            # 524K-lane round, measured 2026-08-17: take 8.3 ms alone vs
+            # 13.0 ms fused with .T)
+            for s in range(S_BLK):
+                w_ref[:, s, :] = wl_ref[0, s * 128:(s + 1) * 128, :].T
+                m_ref[:, s, :] = ml_ref[0, s * 128:(s + 1) * 128, :].T
 
         ro = (rox[:], roy[:], roz[:])
         rd = (rdx[:], rdy[:], rdz[:])
@@ -810,13 +857,23 @@ def _make_round(
     )
     fat = snodes is not None
 
+    uniq = UNIQ
+    ublk = pl.BlockSpec(
+        (1, BRICK_WORDS, max(uniq, 1)), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
     def make_b(dt_exp, leaf):
         # with packing, kernel B runs on the bcap-block dense prefix
         bshape = (s2b, 128)
+        row_specs = (
+            [ublk] * 4 + [vblk] if uniq else [wblk_a, wblk_m]
+        )
         return pl.pallas_call(
-            _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf),
+            _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf,
+                           dedup_u=uniq),
             grid=(bcap,),
-            in_specs=[smem, wblk_a, wblk_m] + [vblk] * 11,
+            in_specs=[smem] + row_specs + [vblk] * 11,
             scratch_shapes=[
                 pltpu.VMEM((128, S_BLK, 128), jnp.uint32),
                 pltpu.VMEM((BRICK_WORDS - 128, S_BLK, 128), jnp.uint32),
@@ -847,6 +904,10 @@ def _make_round(
     def gather_rows(table_pair, emit, child):
         tab_a, tab_m = table_pair
         ids = jnp.where(emit != 0, child, 0).reshape(-1)
+        if TRACE_GATHER is not None and interpret:
+            TRACE_GATHER.append(
+                (np.asarray(ids), np.asarray(emit.reshape(-1) != 0))
+            )
         rows_a = jnp.take(tab_a, ids, axis=0, mode="clip")  # [bcap*RB, 128]
         rows_m = jnp.take(tab_m, ids, axis=0, mode="clip")  # [bcap*RB, 36]
         return (
@@ -854,8 +915,74 @@ def _make_round(
             rows_m.reshape(bcap, RB, BRICK_WORDS - 128),
         )
 
+    def dedup_rows(table_pair, emit, child):
+        """Per-block dedup of the round's brick ids: gather only each
+        block's <=UNIQ distinct rows; kernel B regathers per lane by RANK
+        on the MXU. Returns (4 byte planes [bcap, 164, U] bf16,
+        rank [s2b, 128] i32 pre-clipped for the one-hot, rank_ok i32 --
+        lanes ranked past the budget must defer like pack overflow)."""
+        tab_a, tab_m = table_pair
+        ids = jnp.where(
+            emit != 0, child, jnp.int32(0x7FFFFFFF)
+        ).reshape(bcap, RB)
+        pos = jnp.broadcast_to(
+            jnp.arange(RB, dtype=I32)[None, :], (bcap, RB)
+        )
+        ids_s, pos_s = jax.lax.sort(
+            (ids, pos), dimension=1, num_keys=1, is_stable=True
+        )
+        bnd = jnp.concatenate(
+            [jnp.ones((bcap, 1), I32),
+             (ids_s[:, 1:] != ids_s[:, :-1]).astype(I32)], axis=1,
+        )
+        rank_s = jnp.cumsum(bnd, axis=1) - 1
+        # compact the boundary (= unique, rank-ordered) ids to the front
+        _, uids = jax.lax.sort(
+            (1 - bnd, ids_s), dimension=1, num_keys=1, is_stable=True
+        )
+        uids = jax.lax.slice(uids, (0, 0), (bcap, uniq))
+        # rank back in lane order
+        _, rank_l = jax.lax.sort(
+            (pos_s, rank_s), dimension=1, num_keys=1, is_stable=False
+        )
+        rank_ok = (rank_l < uniq).astype(I32).reshape(s2b, 128)
+        rank_blk = jnp.minimum(rank_l, uniq - 1).reshape(s2b, 128)
+
+        rows = jnp.concatenate(
+            [
+                jnp.take(tab_a, uids.reshape(-1), axis=0, mode="clip"),
+                jnp.take(tab_m, uids.reshape(-1), axis=0, mode="clip"),
+            ],
+            axis=1,
+        )  # [bcap*U, 164]
+        planes = [
+            jnp.transpose(
+                ((rows >> (8 * b)) & jnp.uint32(0xFF))
+                .astype(jnp.bfloat16)
+                .reshape(bcap, uniq, BRICK_WORDS),
+                (0, 2, 1),
+            )
+            for b in range(4)
+        ]
+        return planes, rank_blk, rank_ok
+
     n_lanes = cap * RB
     m_lanes = bcap * RB
+
+    def row_stage(bfn, table, go_in, child_in, rays_in, p1, p2, p3, tqe_in):
+        """One fetch-rows + DDA-kernel stage; returns (kernel outs, served
+        flag). With dedup the HBM fetch is UNIQ rows per block and lanes
+        ranked past the budget are unserved (they defer on their resume
+        key, exactly like pack overflow)."""
+        if uniq:
+            planes, rank_blk, rank_ok = dedup_rows(table, go_in, child_in)
+            go2 = go_in * rank_ok
+            outs = bfn(sf, *planes, rank_blk, *rays_in, p1, p2, p3,
+                       tqe_in, go2)
+            return outs, go2
+        w_a, w_m = gather_rows(table, go_in, child_in)
+        outs = bfn(sf, w_a, w_m, *rays_in, p1, p2, p3, tqe_in, go_in)
+        return outs, go_in
 
     def pack_lanes(go, child, p1, p2, p3, tqe, rays_c):
         """Stable emit-first sort of the cap-block lane state; returns the
@@ -920,10 +1047,15 @@ def _make_round(
                 (child_p, b1p, b2p, b3p, tqep, rays_p, go_p, pos_s,
                  served_s) = pack_lanes(
                     go_s, child, bt1x, bt1y, bt1z, tqe, rays_c)
-                w3s_a, w3s_m = gather_rows(snodes, go_p, child_p)
-                emit2p, bp1p, bp2ip, brickp, bp3p, btqp, more_sp, tqr_sp = (
-                    b_snode(sf, w3s_a, w3s_m, *rays_p,
-                            b1p, b2p, b3p, tqep, go_p))
+                (emit2p, bp1p, bp2ip, brickp, bp3p, btqp, more_sp,
+                 tqr_sp), go_srv = row_stage(
+                    b_snode, snodes, go_p, child_p, rays_p,
+                    b1p, b2p, b3p, tqep)
+                if uniq:
+                    served_s = jnp.concatenate(
+                        [go_srv.reshape(-1),
+                         jnp.zeros((n_lanes - m_lanes,), I32)]
+                    )
                 (served1, emit2, bp1, bp2f, brick, bp3, btq, more_s,
                  tqr_s) = unpack_lanes(
                     pos_s, served_s,
@@ -932,12 +1064,11 @@ def _make_round(
                      brickp, bp3p, btqp, more_sp, tqr_sp],
                     [0, 0.0, 0.0, 0, 0.0, 0.0, 0, 0.0])
             else:
-                w3s_a, w3s_m = gather_rows(snodes, emit, child)
-                emit2, bp1, bp2i, brick, bp3, btq, more_s, tqr_s = b_snode(
-                    sf, w3s_a, w3s_m, *rays_c, bt1x, bt1y, bt1z, tqe, go_s
-                )
+                (emit2, bp1, bp2i, brick, bp3, btq, more_s,
+                 tqr_s), served1 = row_stage(
+                    b_snode, snodes, go_s, child, rays_c,
+                    bt1x, bt1y, bt1z, tqe)
                 bp2f = jax.lax.bitcast_convert_type(bp2i, jnp.float32)
-                served1 = go_s
             # lanes whose supernode held nothing past tq advance to the
             # supernode exit (same planes the kernel consumed); capped
             # lanes resume from their coarse key; emitters past the pack
@@ -963,18 +1094,21 @@ def _make_round(
             (child_p, b1p, b2p, b3p, tqep, rays_p, go_p, pos_s,
              served_s) = pack_lanes(
                 go, child, bt1x, bt1y, bt1z, tqe, rays_c)
-            w3_a, w3_m = gather_rows(bricks, go_p, child_p)
-            hitp, tp, nmajp, vrp, _p3, _tqp, morep, tqrp = b_leaf(
-                sf, w3_a, w3_m, *rays_p, b1p, b2p, b3p, tqep, go_p)
+            (hitp, tp, nmajp, vrp, _p3, _tqp, morep,
+             tqrp), go_srv = row_stage(
+                b_leaf, bricks, go_p, child_p, rays_p, b1p, b2p, b3p, tqep)
+            if uniq:
+                served_s = jnp.concatenate(
+                    [go_srv.reshape(-1),
+                     jnp.zeros((n_lanes - m_lanes,), I32)]
+                )
             served2, hit, t_hit, nmaj, vr, more, tq_resume = unpack_lanes(
                 pos_s, served_s, [hitp, tp, nmajp, vrp, morep, tqrp],
                 [0, 0.0, -1, 0, 0, 0.0])
         else:
-            w3_a, w3_m = gather_rows(bricks, emit, child)
-            hit, t_hit, nmaj, vr, _p3, _tqp, more, tq_resume = b_leaf(
-                sf, w3_a, w3_m, *rays_c, bt1x, bt1y, bt1z, tqe, go
-            )
-            served2 = go
+            (hit, t_hit, nmaj, vr, _p3, _tqp, more,
+             tq_resume), served2 = row_stage(
+                b_leaf, bricks, go, child, rays_c, bt1x, bt1y, bt1z, tqe)
         # resume key: lanes the DDA iteration cap stopped mid-brick resume
         # from their sub-brick key; finished bricks resume from the brick
         # exit, derived from the SAME bt1 planes the DDA kernel consumes
@@ -1042,6 +1176,11 @@ def _intersect_padded(
         # (the 2048^3 optimum is nb/64) need proportionally more rounds --
         # a fixed 256 silently truncated narrow-cap frames to wrong misses
         max_rounds = 64 * max(nb // cap, 1) + 256
+        if UNIQ:
+            # dedup budget serves >=UNIQ lanes per block-round; fully
+            # incoherent blocks (worst case) need RB/UNIQ x more rounds.
+            # The loop exits on convergence, so this only bounds safety.
+            max_rounds *= max(RB // UNIQ, 1)
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -1108,6 +1247,8 @@ def _intersect_padded_eager(
     cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
     if max_rounds is None:
         max_rounds = 64 * max(nb // cap, 1) + 256
+        if UNIQ:
+            max_rounds *= max(RB // UNIQ, 1)
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])

@@ -71,6 +71,7 @@ def main():
     hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
     hk.MAX_PROBES = int(os.environ.get("P", hk.MAX_PROBES))
     hk.MAX_DDA_ITERS = int(os.environ.get("D", hk.MAX_DDA_ITERS))
+    hk.UNIQ = int(os.environ.get("UNIQ", hk.UNIQ))
     grid_res = int(os.environ.get("RES", 256))
     width, height = 1920, 1088
     tree = tree_cache(grid_res)
@@ -95,7 +96,7 @@ def main():
         frame_sum()
     dt = (time.time() - t0) / iters
     print(f"RES={grid_res} CAPD={hk.CAP_DIV} PACKD={hk.PACK_DIV} "
-          f"P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS}: "
+          f"P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS} UNIQ={hk.UNIQ}: "
           f"{dt*1e3:.1f} ms = {width*height/dt/1e6:.1f} Mrays/s "
           f"checksum={csum:.2f} hits={nhit}", flush=True)
 

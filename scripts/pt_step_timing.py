@@ -30,6 +30,7 @@ def main():
     hk.MAX_DDA_ITERS = int(os.environ.get("D", hk.MAX_DDA_ITERS))
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
     hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
+    hk.UNIQ = int(os.environ.get("UNIQ", hk.UNIQ))
     width, height = 640, 360
 
     tri = meshgen.bumpy_sphere(5, radius=0.9)

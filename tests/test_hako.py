@@ -198,6 +198,35 @@ def test_hako_pack_budget_equivalence(grid_res, monkeypatch):
         np.testing.assert_array_equal(r, g)
 
 
+@pytest.mark.parametrize("grid_res,uniq", [(256, 64), (2048, 16)])
+def test_hako_dedup_gather_equivalence(grid_res, uniq, monkeypatch):
+    """Per-block dedup-gather (UNIQ>0: sort-ranked unique rows + one-hot
+    MXU regather in kernel B) is bit-identical to the per-lane gather,
+    including heavy budget overflow (random targets give ~1500 distinct
+    ids per 2048-lane block at 256^3, so most ranked lanes defer on their
+    resume key each round) and the 2048^3 two-stage supernode chain."""
+    dps = 1.0 / grid_res
+    if grid_res > 256:
+        base = RNG.integers(0, grid_res // 8, size=(40, 3)).astype(np.uint32) * 8
+        off = RNG.integers(0, 24, size=(50, 40, 3)).astype(np.uint32)
+        c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
+        m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    else:
+        m = random_voxels(grid_res, 20000)
+    tree = make_tree(m, grid_res, dps)
+    n = 4096
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro + RNG.normal(size=(n, 3)) * 0.2).astype(np.float32)
+    monkeypatch.setattr(hako_kernels, "CAP_DIV", 1)
+    ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    monkeypatch.setattr(hako_kernels, "UNIQ", uniq)
+    got = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
 def test_hako_snode_capped_resume(monkeypatch):
     """Every snode-chain resume path must be exercised and change nothing:
     1 probe per kernel-A call and 1 coarse-cell visit per DDA call."""
