@@ -61,4 +61,10 @@ echo "--- PT UNIQ=64 $(date +%H:%M:%S)" >> "$LOG"
 UNIQ=64 timeout 3000 python scripts/pt_step_timing.py >> "$LOG" 2>&1
 echo "--- PT UNIQ=128 $(date +%H:%M:%S)" >> "$LOG"
 UNIQ=128 timeout 3000 python scripts/pt_step_timing.py >> "$LOG" 2>&1
+# 7) end-to-end rtcamp artifact at round-2 speed (4 frames, per-frame
+#    rebuild + PT + async PNG): the production-shot shape
+echo "--- RTCAMP $(date +%H:%M:%S)" >> "$LOG"
+timeout 3600 python -m massivevoxelraytracing_tpu.apps.rtcamp \
+  --frame-range 0 4 --frames 24 --width 640 --height 360 --steps 2 \
+  --out out/anim_r2 >> "$LOG" 2>&1
 echo "SWEEP DONE $(date)" >> "$LOG"
