@@ -799,7 +799,8 @@ def _rep(i):
 def _make_round(
     bricks, snodes, tabs, scal_i, sf, rays_b, *,
     nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
-    interpret: bool,
+    interpret: bool, pack_div: int, uniq: int,
+    max_probes: int, max_dda: int,
 ):
     """Builds one traversal-round function over BLOCK-compacted state.
 
@@ -817,7 +818,7 @@ def _make_round(
     grid = cap
     s2 = cap * S_BLK
     shape = (s2, 128)
-    bcap = max(cap // PACK_DIV, 1) if PACK_DIV > 1 else cap
+    bcap = max(cap // pack_div, 1) if pack_div > 1 else cap
     pack = bcap < cap
     s2b = bcap * S_BLK
 
@@ -826,7 +827,8 @@ def _make_round(
     tab_specs = [tab_spec(f) for f in level_rows]
 
     a_call = pl.pallas_call(
-        _make_kernel_a(T, level_rows, stable=interpret),
+        _make_kernel_a(T, level_rows, stable=interpret,
+                       max_probes=max_probes),
         grid=(grid,),
         in_specs=[smem, smem] + tab_specs + [vblk] * 8,
         out_specs=[vblk] * 8,
@@ -857,7 +859,6 @@ def _make_round(
     )
     fat = snodes is not None
 
-    uniq = UNIQ
     ublk = pl.BlockSpec(
         (1, BRICK_WORDS, max(uniq, 1)), lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,
@@ -871,7 +872,7 @@ def _make_round(
         )
         return pl.pallas_call(
             _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf,
-                           dedup_u=uniq),
+                           dedup_u=uniq, max_iters=max_dda),
             grid=(bcap,),
             in_specs=[smem] + row_specs + [vblk] * 11,
             scratch_shapes=[
@@ -1159,15 +1160,22 @@ def _init_state(nb):
 @partial(
     jax.jit,
     static_argnames=(
-        "T", "level_rows", "shadow", "max_rounds", "cap_blocks"
+        "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
+        "pack_div", "uniq", "max_probes", "max_dda",
     ),
 )
 def _intersect_padded(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
-    cap_blocks: int | None = None,
+    cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
+    max_probes: int = 4, max_dda: int = 24,
 ):
-    """TPU path: jitted while_loop of block-compacted rounds."""
+    """TPU path: jitted while_loop of block-compacted rounds.
+
+    The tuning knobs (cap_blocks/pack_div/uniq/max_probes/max_dda) are
+    STATIC ARGS so the jit cache keys on them -- module-attr reads inside
+    the trace would silently go stale across calls (the reason sweeps used
+    to need one process per combo)."""
     R = ro.shape[0]
     nb = R // RB
     cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
@@ -1176,11 +1184,11 @@ def _intersect_padded(
         # (the 2048^3 optimum is nb/64) need proportionally more rounds --
         # a fixed 256 silently truncated narrow-cap frames to wrong misses
         max_rounds = 64 * max(nb // cap, 1) + 256
-        if UNIQ:
-            # dedup budget serves >=UNIQ lanes per block-round; fully
-            # incoherent blocks (worst case) need RB/UNIQ x more rounds.
+        if uniq:
+            # dedup budget serves >=uniq lanes per block-round; fully
+            # incoherent blocks (worst case) need RB/uniq x more rounds.
             # The loop exits on convergence, so this only bounds safety.
-            max_rounds *= max(RB // UNIQ, 1)
+            max_rounds *= max(RB // uniq, 1)
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -1209,7 +1217,8 @@ def _intersect_padded(
         body = _make_round(
             bricks, snodes, tabs, scal_i, sf, rays_b,
             nb=nb, cap=c, T=T, level_rows=level_rows, shadow=shadow,
-            interpret=False,
+            interpret=False, pack_div=pack_div, uniq=uniq,
+            max_probes=max_probes, max_dda=max_dda,
         )
         if k + 1 < len(ladder):
             nxt = ladder[k + 1]
@@ -1231,7 +1240,8 @@ def _intersect_padded(
 def _intersect_padded_eager(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
-    cap_blocks: int | None = None,
+    cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
+    max_probes: int = 4, max_dda: int = 24,
 ):
     """CPU/interpret path: the same rounds driven by a Python loop.
 
@@ -1247,8 +1257,8 @@ def _intersect_padded_eager(
     cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
     if max_rounds is None:
         max_rounds = 64 * max(nb // cap, 1) + 256
-        if UNIQ:
-            max_rounds *= max(RB // UNIQ, 1)
+        if uniq:
+            max_rounds *= max(RB // uniq, 1)
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -1260,7 +1270,8 @@ def _intersect_padded_eager(
     body = _make_round(
         bricks, snodes, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
-        interpret=True,
+        interpret=True, pack_div=pack_div, uniq=uniq,
+        max_probes=max_probes, max_dda=max_dda,
     )
     st = _init_state(nb)
     while int(st[0]) < max_rounds and bool(jnp.any(st[1] == 0)):
@@ -1276,8 +1287,15 @@ def intersect_rays_hako(
     T: int, level_rows: tuple, shadow: bool = False,
     max_rounds: int | None = None,
     interpret: bool | None = None, cap_blocks: int | None = None,
+    pack_div: int | None = None, uniq: int | None = None,
+    max_probes: int | None = None, max_dda: int | None = None,
 ):
-    """Full-frame traversal; pads the ray count to a multiple of 2048."""
+    """Full-frame traversal; pads the ray count to a multiple of 2048.
+
+    Tuning knobs default to the module attrs (CAP_DIV/PACK_DIV/UNIQ/
+    MAX_PROBES/MAX_DDA_ITERS) resolved HERE, outside any trace, and ride
+    the jit cache key as static args -- so per-call overrides and
+    module-attr sweeps are both safe in one process."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     R = ro.shape[0]
@@ -1285,11 +1303,17 @@ def intersect_rays_hako(
     if rpad != R:
         ro = jnp.concatenate([ro, jnp.zeros((rpad - R, 3), ro.dtype)])
         rd = jnp.concatenate([rd, jnp.ones((rpad - R, 3), rd.dtype)])
+    if cap_blocks is None:
+        cap_blocks = max((rpad // RB) // CAP_DIV, 1)
     fn = _intersect_padded_eager if interpret else _intersect_padded
     t, nmaj, vidx = fn(
         bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
         T=T, level_rows=level_rows, shadow=shadow, max_rounds=max_rounds,
         cap_blocks=cap_blocks,
+        pack_div=PACK_DIV if pack_div is None else pack_div,
+        uniq=UNIQ if uniq is None else uniq,
+        max_probes=MAX_PROBES if max_probes is None else max_probes,
+        max_dda=MAX_DDA_ITERS if max_dda is None else max_dda,
     )
     return t[:R], nmaj[:R], vidx[:R]
 

@@ -93,7 +93,10 @@ def main():
               rd_j[:, 1].reshape(nb, hk.RB), rd_j[:, 2].reshape(nb, hk.RB)]
     body = hk._make_round(bricks, snodes, tabs, scal_i, sf, rays_b,
                           nb=nb, cap=cap, T=T, level_rows=level_rows,
-                          shadow=False, interpret=False)
+                          shadow=False, interpret=False,
+                          pack_div=hk.PACK_DIV, uniq=hk.UNIQ,
+                          max_probes=hk.MAX_PROBES,
+                          max_dda=hk.MAX_DDA_ITERS)
     body_j = jax.jit(body)
     st = hk._init_state(nb)
     st = jax.block_until_ready(body_j(st))  # compile

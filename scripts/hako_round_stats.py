@@ -78,7 +78,8 @@ def main():
         c: jax.jit(hk._make_round(
             bricks, snodes, tabs, scal_i, sf, rays_b,
             nb=nb, cap=c, T=T, level_rows=level_rows, shadow=False,
-            interpret=False))
+            interpret=False, pack_div=hk.PACK_DIV, uniq=hk.UNIQ,
+            max_probes=hk.MAX_PROBES, max_dda=hk.MAX_DDA_ITERS))
         for c in ladder
     }
 
