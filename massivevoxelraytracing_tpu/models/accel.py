@@ -27,8 +27,10 @@ def accel_args(tree):
     For the hako structure, `meta` is a pytree (bricks, tabs, scal_i) and
     `depth` the static (T, level_rows) pair."""
     if isinstance(tree, HakoTree):
-        meta, static = hako_kernels.hako_args(tree)
-        return "hako", static, meta, jnp.uint32(0)
+        meta, (T, level_rows) = hako_kernels.hako_args(tree)
+        # grid_res rides the static pair so the dispatch can resolve
+        # per-resolution tuned knobs (hako_kernels.knobs_for_res)
+        return "hako", (T, level_rows, int(tree.grid_res)), meta, jnp.uint32(0)
     if isinstance(tree, BrickTree):
         return "brick", tree.n_levels, tree.meta, jnp.uint32(tree.root)
     depth = max(int(tree.grid_res).bit_length() - 1, 1)
@@ -47,11 +49,12 @@ def intersect_with(kind: str, depth, meta, root, lower, upper, ro, rd,
                    *, shadow: bool = False, block: int | None = None):
     """Dispatch inside jitted code (kind/depth are static)."""
     if kind == "hako":
-        T, level_rows = depth
+        T, level_rows, grid_res = depth
         bricks, snodes, tabs, scal_i = meta
         return hako_kernels.intersect_rays_hako(
             bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
             T=T, level_rows=level_rows, shadow=shadow,
+            **hako_kernels.knobs_for_res(grid_res),
         )
     if block is None:
         block = BLOCK_FOR_KIND[kind]

@@ -70,6 +70,13 @@ CAP_DIV = 8                # round width = nb/CAP_DIV blocks (full-cap rung):
                            # 2026-08 sweep (scripts/cap_sweep.py): nb/8 beats
                            # nb/4 by 10% at 1024^3 (143.6 vs 158.2 ms) and
                            # ties at 256^3; nb/2 OOMs, nb/16 is 5-8% worse
+TWO_BRICK = 0              # kernel A also emits the ray's SECOND brick
+                           # within the same last-level node (~3 of 4 next
+                           # bricks) and the round runs a second leaf stage
+                           # on it -- halving A invocations and bookkeeping
+                           # per brick visit. Non-fat grids only; unserved
+                           # second bricks fall back to the single-brick
+                           # resume path bit-exactly.
 UNIQ = 0                   # per-block dedup-gather budget (0 disables).
                            # Rays in a block share one 128x128 pixel tile, so
                            # lockstep rounds want few DISTINCT brick rows:
@@ -101,6 +108,48 @@ PACK_DIV = 2               # emit-dense packing: the brick-row gather and
 TRACE_GATHER = None  # eager-mode stats hook: scripts/dup_stats.py appends
                      # (ids, emit) per round's row gather to measure brick-id
                      # duplication within blocks (dedup-gather sizing)
+
+
+# Per-resolution tuned knob table, consulted by knobs_for_res() for any
+# knob whose module attr still holds its factory default -- so env/test
+# patches of the module attrs override the table everywhere, while
+# default runs (bench.py, scale demos, rtcamp's 128->256 res sweep) get
+# the per-scale optimum. Keys are grid resolutions; lookup picks the
+# nearest in log space. Values come from on-chip sweeps (sweep_r2.log).
+_FACTORY = dict(CAP_DIV=8, PACK_DIV=2, UNIQ=0, TWO_BRICK=0,
+                MAX_PROBES=4, MAX_DDA_ITERS=24)
+TUNED_BY_RES = {
+    256: {},    # factory knobs are the 256^3 sweep optimum
+    1024: {},   # factory knobs are the 1024^3 sweep optimum
+    # 2048^3+ optimum measured 2026-08-17 (scripts/cap_sweep.py): narrow
+    # rounds win when nb is huge; nb/64 beat nb/8 by ~2.2x at 54M voxels
+    2048: dict(CAP_DIV=64),
+}
+
+_KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
+                    TWO_BRICK="two_brick", MAX_PROBES="max_probes",
+                    MAX_DDA_ITERS="max_dda")
+
+
+def knobs_for_res(grid_res: int) -> dict:
+    """Resolved intersect_rays_hako knob kwargs for a grid resolution."""
+    import math
+
+    tuned = {}
+    if TUNED_BY_RES:
+        key = min(
+            TUNED_BY_RES,
+            key=lambda k: abs(math.log(k) - math.log(max(grid_res, 1))),
+        )
+        tuned = TUNED_BY_RES[key]
+    out = {}
+    g = globals()
+    for knob, arg in _KNOB_TO_ARG.items():
+        if g[knob] != _FACTORY[knob]:
+            out[arg] = g[knob]            # explicit override wins
+        elif knob in tuned:
+            out[arg] = tuned[knob]
+    return out
 
 
 def _u(x):
@@ -483,7 +532,13 @@ def _ray_preamble(lov, upv, ro, rd, stable: bool = False):
 # ---------------------------------------------------------------------------
 
 def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
-                   max_probes: int | None = None):
+                   max_probes: int | None = None, twob: bool = False):
+    """twob: also emit the SECOND brick along the ray within the same
+    last-level node (a second _walk64 keyed past the first brick's exit),
+    so the driver can chain two leaf stages per probe round -- halving
+    kernel-A invocations and bookkeeping per brick visit. ~3 of 4 next
+    bricks lie in the same 4^3 node (the 4th crosses a node face and
+    re-probes as usual)."""
     if max_probes is None:
         max_probes = MAX_PROBES  # read at build time so tests can patch it
     n_tabs = T - 1
@@ -491,9 +546,16 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
 
     def kernel(si_ref, sf_ref, *refs):
         tabs = refs[:n_tabs]
-        (rox, roy, roz, rdx, rdy, rdz, tq_ref, act_ref,
-         emit_ref, brick_ref, bt1x_ref, bt1y_ref, bt1z_ref,
-         tqe_ref, tqn_ref, exh_ref) = refs[n_tabs:]
+        if twob:
+            (rox, roy, roz, rdx, rdy, rdz, tq_ref, act_ref,
+             emit_ref, brick_ref, bt1x_ref, bt1y_ref, bt1z_ref,
+             tqe_ref, tqn_ref, exh_ref,
+             emit2_ref, brick2_ref, b2x_ref, b2y_ref,
+             b2z_ref) = refs[n_tabs:]
+        else:
+            (rox, roy, roz, rdx, rdy, rdz, tq_ref, act_ref,
+             emit_ref, brick_ref, bt1x_ref, bt1y_ref, bt1z_ref,
+             tqe_ref, tqn_ref, exh_ref) = refs[n_tabs:]
 
         ro = (rox[:], roy[:], roz[:])
         rd = (rdx[:], rdy[:], rdz[:])
@@ -516,7 +578,13 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
         need0 = act & enter_ok
 
         def probe_body(st):
-            need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i, p = st
+            if twob:
+                (need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i,
+                 emit2_i, brick2, b2x, b2y, b2z, p) = st
+                emit2 = emit2_i != 0
+            else:
+                (need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i,
+                 p) = st
             need = need_i != 0
             emit = emit_i != 0
             exh = exh_i != 0
@@ -556,6 +624,28 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
                     bt1z = jnp.where(ok, nt1z, bt1z)
                     tqe = jnp.where(ok, t_q, tqe)
                     tq_new = jnp.where(ok, _min3(nt1x, nt1y, nt1z), tq_new)
+                    if twob:
+                        # second brick in the SAME node: walk again keyed
+                        # past the first brick's exit
+                        tq2 = _min3(nt1x, nt1y, nt1z)
+                        _, _, c2 = _walk64(
+                            mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
+                            dc[0], dc[1], dc[2], tq2, stable=stable,
+                        )
+                        found2 = ok & (c2 < 64)
+                        c2x, c2y, c2z = _coords(c2)
+                        n2x = _plane(cur[0], dc[0],
+                                     jnp.minimum(c2x + 1, k4), stable)
+                        n2y = _plane(cur[1], dc[1],
+                                     jnp.minimum(c2y + 1, k4), stable)
+                        n2z = _plane(cur[2], dc[2],
+                                     jnp.minimum(c2z + 1, k4), stable)
+                        rank2 = _pc64_below(mask_lo, mask_hi, c2 ^ vm6)
+                        emit2 = emit2 | found2
+                        brick2 = jnp.where(found2, base + rank2, brick2)
+                        b2x = jnp.where(found2, n2x, b2x)
+                        b2y = jnp.where(found2, n2y, b2y)
+                        b2z = jnp.where(found2, n2z, b2z)
                 else:
                     childc = jnp.where(ok, child, 0)
                     mask_lo, mask_hi, base = _stable(_gather_node_any(
@@ -565,6 +655,10 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
                     dc = [dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25]
 
             need = need & ~emit & ~exh
+            if twob:
+                return (need.astype(I32), tq_new, emit.astype(I32), brick,
+                        bt1x, bt1y, bt1z, tqe, exh.astype(I32),
+                        emit2.astype(I32), brick2, b2x, b2y, b2z, p + 1)
             return (need.astype(I32), tq_new, emit.astype(I32), brick,
                     bt1x, bt1y, bt1z, tqe, exh.astype(I32), p + 1)
 
@@ -574,9 +668,14 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
             return jnp.any(need != 0) & (p < max_probes)
 
         init = (need0.astype(I32), t_q0, jnp.zeros_like(vm6), zi, zf, zf, zf,
-                t_q0, exhausted0.astype(I32), jnp.int32(0))
-        (need, tq_new, emit, brick, bt1x, bt1y, bt1z, tqe, exhausted,
-         _p) = jax.lax.while_loop(probe_cond, probe_body, init)
+                t_q0, exhausted0.astype(I32))
+        if twob:
+            init = init + (zi, zi, zf, zf, zf)
+        out = jax.lax.while_loop(
+            probe_cond, probe_body, init + (jnp.int32(0),)
+        )
+        (need, tq_new, emit, brick, bt1x, bt1y, bt1z, tqe,
+         exhausted) = out[:9]
 
         emit_ref[:] = emit
         brick_ref[:] = jnp.where(emit != 0, brick, 0)
@@ -586,6 +685,13 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
         tqe_ref[:] = tqe
         tqn_ref[:] = tq_new
         exh_ref[:] = exhausted
+        if twob:
+            emit2, brick2, b2x, b2y, b2z = out[9:14]
+            emit2_ref[:] = emit2
+            brick2_ref[:] = jnp.where(emit2 != 0, brick2, 0)
+            b2x_ref[:] = b2x
+            b2y_ref[:] = b2y
+            b2z_ref[:] = b2z
 
     return kernel
 
@@ -800,7 +906,7 @@ def _make_round(
     bricks, snodes, tabs, scal_i, sf, rays_b, *,
     nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
     interpret: bool, pack_div: int, uniq: int,
-    max_probes: int, max_dda: int,
+    max_probes: int, max_dda: int, two_brick: bool = False,
 ):
     """Builds one traversal-round function over BLOCK-compacted state.
 
@@ -826,22 +932,33 @@ def _make_round(
     vblk = pl.BlockSpec((S_BLK, 128), _blk, memory_space=pltpu.VMEM)
     tab_specs = [tab_spec(f) for f in level_rows]
 
+    fat = snodes is not None
+    twb = bool(two_brick) and not fat  # fat path stays single-brick
+    a_outs = [
+        jax.ShapeDtypeStruct(shape, I32),          # emit
+        jax.ShapeDtypeStruct(shape, I32),          # brick
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1x
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1y
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1z
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_emit
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_new
+        jax.ShapeDtypeStruct(shape, I32),          # exhausted
+    ]
+    if twb:
+        a_outs += [
+            jax.ShapeDtypeStruct(shape, I32),          # emit2
+            jax.ShapeDtypeStruct(shape, I32),          # brick2
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # b2x
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # b2y
+            jax.ShapeDtypeStruct(shape, jnp.float32),  # b2z
+        ]
     a_call = pl.pallas_call(
         _make_kernel_a(T, level_rows, stable=interpret,
-                       max_probes=max_probes),
+                       max_probes=max_probes, twob=twb),
         grid=(grid,),
         in_specs=[smem, smem] + tab_specs + [vblk] * 8,
-        out_specs=[vblk] * 8,
-        out_shape=[
-            jax.ShapeDtypeStruct(shape, I32),          # emit
-            jax.ShapeDtypeStruct(shape, I32),          # brick
-            jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1x
-            jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1y
-            jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1z
-            jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_emit
-            jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_new
-            jax.ShapeDtypeStruct(shape, I32),          # exhausted
-        ],
+        out_specs=[vblk] * len(a_outs),
+        out_shape=a_outs,
         interpret=interpret,
     )
 
@@ -857,7 +974,6 @@ def _make_round(
         (1, RB, BRICK_WORDS - 128), lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    fat = snodes is not None
 
     ublk = pl.BlockSpec(
         (1, BRICK_WORDS, max(uniq, 1)), lambda i: (i, 0, 0),
@@ -1037,9 +1153,10 @@ def _make_round(
         tq_c = pick(t_q)
         act = (pick(resolved) == 0).astype(I32)
 
-        emit, child, bt1x, bt1y, bt1z, tqe, tqn, exh = a_call(
-            scal_i, sf, *tabs, *rays_c, tq_c, act
-        )
+        a_out = a_call(scal_i, sf, *tabs, *rays_c, tq_c, act)
+        emit, child, bt1x, bt1y, bt1z, tqe, tqn, exh = a_out[:8]
+        if twb:
+            emit2, child2, b2x, b2y, b2z = a_out[8:13]
 
         if fat:
             # stage 1: supernode row walk emits the next BRICK + planes
@@ -1090,26 +1207,33 @@ def _make_round(
             tqe = btq
             child = brick
 
+        def leaf_stage(go_st, child_st, p1, p2, p3, tqe_st):
+            """One packed/dedup'd brick-DDA pass over the round's lanes;
+            returns per-lane (served, hit, t, nmaj, vrank, capped, tqr)."""
+            if pack:
+                (child_p, b1p, b2p, b3p, tqep, rays_p, go_p, pos_s,
+                 served_s) = pack_lanes(
+                    go_st, child_st, p1, p2, p3, tqe_st, rays_c)
+                (hitp, tp, nmajp, vrp, _p3, _tqp, morep,
+                 tqrp), go_srv = row_stage(
+                    b_leaf, bricks, go_p, child_p, rays_p,
+                    b1p, b2p, b3p, tqep)
+                if uniq:
+                    served_s = jnp.concatenate(
+                        [go_srv.reshape(-1),
+                         jnp.zeros((n_lanes - m_lanes,), I32)]
+                    )
+                return unpack_lanes(
+                    pos_s, served_s, [hitp, tp, nmajp, vrp, morep, tqrp],
+                    [0, 0.0, -1, 0, 0, 0.0])
+            (hit_, t_, nmaj_, vr_, _p3, _tqp, more_,
+             tqr_), served_ = row_stage(
+                b_leaf, bricks, go_st, child_st, rays_c, p1, p2, p3, tqe_st)
+            return served_, hit_, t_, nmaj_, vr_, more_, tqr_
+
         go = emit * act
-        if pack:
-            (child_p, b1p, b2p, b3p, tqep, rays_p, go_p, pos_s,
-             served_s) = pack_lanes(
-                go, child, bt1x, bt1y, bt1z, tqe, rays_c)
-            (hitp, tp, nmajp, vrp, _p3, _tqp, morep,
-             tqrp), go_srv = row_stage(
-                b_leaf, bricks, go_p, child_p, rays_p, b1p, b2p, b3p, tqep)
-            if uniq:
-                served_s = jnp.concatenate(
-                    [go_srv.reshape(-1),
-                     jnp.zeros((n_lanes - m_lanes,), I32)]
-                )
-            served2, hit, t_hit, nmaj, vr, more, tq_resume = unpack_lanes(
-                pos_s, served_s, [hitp, tp, nmajp, vrp, morep, tqrp],
-                [0, 0.0, -1, 0, 0, 0.0])
-        else:
-            (hit, t_hit, nmaj, vr, _p3, _tqp, more,
-             tq_resume), served2 = row_stage(
-                b_leaf, bricks, go, child, rays_c, bt1x, bt1y, bt1z, tqe)
+        served2, hit, t_hit, nmaj, vr, more, tq_resume = leaf_stage(
+            go, child, bt1x, bt1y, bt1z, tqe)
         # resume key: lanes the DDA iteration cap stopped mid-brick resume
         # from their sub-brick key; finished bricks resume from the brick
         # exit, derived from the SAME bt1 planes the DDA kernel consumes
@@ -1125,6 +1249,27 @@ def _make_round(
                 tqn,
             ),
         )
+        if twb:
+            # second leaf stage: lanes that finished brick 1 without a hit
+            # or an iteration cap walk their second in-node brick, keyed
+            # past brick 1's exit. Unserved-brick2 lanes already resume
+            # from the brick-1 exit above, so the next probe re-emits
+            # brick 2 as its first brick -- identical to single-brick.
+            b1_exit = _min3(bt1x, bt1y, bt1z)
+            go_b2 = ((go != 0) & (served2 != 0) & (hit == 0)
+                     & (more == 0) & (emit2 != 0)).astype(I32)
+            srv_b2, hit_b, t_b, nm_b, vr_b, more_b, tqr_b = leaf_stage(
+                go_b2, child2, b2x, b2y, b2z, b1_exit)
+            tqn = jnp.where(
+                srv_b2 != 0,
+                jnp.where(more_b != 0, tqr_b, _min3(b2x, b2y, b2z)),
+                tqn,
+            )
+            hit2 = (srv_b2 != 0) & (hit_b != 0)
+            t_hit = jnp.where(hit2, t_b, t_hit)
+            nmaj = jnp.where(hit2, nm_b, nmaj)
+            vr = jnp.where(hit2, vr_b, vr)
+            hit = jnp.where(hit2, jnp.int32(1), hit)
         newhit = (act != 0) & (hit != 0)
         t_c = jnp.where(newhit, t_hit, pick(t_out))
         nm_c = jnp.where(newhit, nmaj, pick(nmaj_out))
@@ -1161,14 +1306,14 @@ def _init_state(nb):
     jax.jit,
     static_argnames=(
         "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
-        "pack_div", "uniq", "max_probes", "max_dda",
+        "pack_div", "uniq", "max_probes", "max_dda", "two_brick",
     ),
 )
 def _intersect_padded(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
-    max_probes: int = 4, max_dda: int = 24,
+    max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
 ):
     """TPU path: jitted while_loop of block-compacted rounds.
 
@@ -1218,7 +1363,7 @@ def _intersect_padded(
             bricks, snodes, tabs, scal_i, sf, rays_b,
             nb=nb, cap=c, T=T, level_rows=level_rows, shadow=shadow,
             interpret=False, pack_div=pack_div, uniq=uniq,
-            max_probes=max_probes, max_dda=max_dda,
+            max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
         )
         if k + 1 < len(ladder):
             nxt = ladder[k + 1]
@@ -1241,7 +1386,7 @@ def _intersect_padded_eager(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
-    max_probes: int = 4, max_dda: int = 24,
+    max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
 ):
     """CPU/interpret path: the same rounds driven by a Python loop.
 
@@ -1271,7 +1416,7 @@ def _intersect_padded_eager(
         bricks, snodes, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
         interpret=True, pack_div=pack_div, uniq=uniq,
-        max_probes=max_probes, max_dda=max_dda,
+        max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
     )
     st = _init_state(nb)
     while int(st[0]) < max_rounds and bool(jnp.any(st[1] == 0)):
@@ -1287,8 +1432,10 @@ def intersect_rays_hako(
     T: int, level_rows: tuple, shadow: bool = False,
     max_rounds: int | None = None,
     interpret: bool | None = None, cap_blocks: int | None = None,
+    cap_div: int | None = None,
     pack_div: int | None = None, uniq: int | None = None,
     max_probes: int | None = None, max_dda: int | None = None,
+    two_brick: bool | None = None,
 ):
     """Full-frame traversal; pads the ray count to a multiple of 2048.
 
@@ -1304,7 +1451,9 @@ def intersect_rays_hako(
         ro = jnp.concatenate([ro, jnp.zeros((rpad - R, 3), ro.dtype)])
         rd = jnp.concatenate([rd, jnp.ones((rpad - R, 3), rd.dtype)])
     if cap_blocks is None:
-        cap_blocks = max((rpad // RB) // CAP_DIV, 1)
+        cap_blocks = max(
+            (rpad // RB) // (CAP_DIV if cap_div is None else cap_div), 1
+        )
     fn = _intersect_padded_eager if interpret else _intersect_padded
     t, nmaj, vidx = fn(
         bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
@@ -1314,6 +1463,7 @@ def intersect_rays_hako(
         uniq=UNIQ if uniq is None else uniq,
         max_probes=MAX_PROBES if max_probes is None else max_probes,
         max_dda=MAX_DDA_ITERS if max_dda is None else max_dda,
+        two_brick=bool(TWO_BRICK) if two_brick is None else bool(two_brick),
     )
     return t[:R], nmaj[:R], vidx[:R]
 
@@ -1368,4 +1518,5 @@ def intersect_hako(tree: HakoTree, ro, rd, shadow: bool = False):
         jnp.asarray(np.asarray(ro, np.float32)),
         jnp.asarray(np.asarray(rd, np.float32)),
         T=T, level_rows=level_rows, shadow=shadow,
+        **knobs_for_res(int(tree.grid_res)),
     )

@@ -72,6 +72,7 @@ def main():
     hk.MAX_PROBES = int(os.environ.get("P", hk.MAX_PROBES))
     hk.MAX_DDA_ITERS = int(os.environ.get("D", hk.MAX_DDA_ITERS))
     hk.UNIQ = int(os.environ.get("UNIQ", hk.UNIQ))
+    hk.TWO_BRICK = int(os.environ.get("TWOB", hk.TWO_BRICK))
     grid_res = int(os.environ.get("RES", 256))
     width, height = 1920, 1088
     tree = tree_cache(grid_res)

@@ -31,6 +31,7 @@ def main():
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
     hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
     hk.UNIQ = int(os.environ.get("UNIQ", hk.UNIQ))
+    hk.TWO_BRICK = int(os.environ.get("TWOB", hk.TWO_BRICK))
     width, height = 640, 360
 
     tri = meshgen.bumpy_sphere(5, radius=0.9)

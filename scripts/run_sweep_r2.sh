@@ -8,8 +8,8 @@
 LOG=${LOG:-/tmp/sweep_r2.log}
 cd /root/repo
 run() {
-  echo "--- RES=$1 CAPD=$2 PACKD=$3 UNIQ=$4 $(date +%H:%M:%S)" >> "$LOG"
-  RES=$1 CAPD=$2 PACKD=$3 UNIQ=$4 timeout 3000 python scripts/cap_sweep.py >> "$LOG" 2>&1
+  echo "--- RES=$1 CAPD=$2 PACKD=$3 UNIQ=$4 TWOB=${5:-0} $(date +%H:%M:%S)" >> "$LOG"
+  RES=$1 CAPD=$2 PACKD=$3 UNIQ=$4 TWOB=${5:-0} timeout 3000 python scripts/cap_sweep.py >> "$LOG" 2>&1
 }
 # 1) geometric-ladder validation without packing (pending from last
 #    session) -- also the dedup baselines
@@ -23,6 +23,11 @@ run 256 8 1 64
 run 1024 8 1 64
 run 1024 8 1 128
 run 256 8 1 128
+# 2b) two-brick rounds (kernel A emits the 2nd in-node brick; 27->16 rounds
+#     measured on CPU): on top of dedup and alone
+run 1024 8 1 64 1
+run 256 8 1 64 1
+run 1024 8 1 0 1
 # 3) reference-max scale axis: streamed build + render. 4096^3 rung first
 #    (validates the streamed path + fills jit caches), then the 16k^3 /
 #    ~654M-voxel headline (renderer_introduction.pdf p.8)
