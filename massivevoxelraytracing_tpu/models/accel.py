@@ -28,9 +28,14 @@ def accel_args(tree):
     `depth` the static (T, level_rows) pair."""
     if isinstance(tree, HakoTree):
         meta, (T, level_rows) = hako_kernels.hako_args(tree)
-        # grid_res rides the static pair so the dispatch can resolve
-        # per-resolution tuned knobs (hako_kernels.knobs_for_res)
-        return "hako", (T, level_rows, int(tree.grid_res)), meta, jnp.uint32(0)
+        # the RESOLVED per-resolution knobs ride the static tuple, so every
+        # jitted wrapper above the dispatch (render_frame, PT step) keys
+        # its cache on them -- resolving inside the trace would silently
+        # reuse stale-knob executables after a module-attr change
+        knobs = tuple(sorted(
+            hako_kernels.knobs_for_res(int(tree.grid_res)).items()
+        ))
+        return "hako", (T, level_rows, knobs), meta, jnp.uint32(0)
     if isinstance(tree, BrickTree):
         return "brick", tree.n_levels, tree.meta, jnp.uint32(tree.root)
     depth = max(int(tree.grid_res).bit_length() - 1, 1)
@@ -49,12 +54,11 @@ def intersect_with(kind: str, depth, meta, root, lower, upper, ro, rd,
                    *, shadow: bool = False, block: int | None = None):
     """Dispatch inside jitted code (kind/depth are static)."""
     if kind == "hako":
-        T, level_rows, grid_res = depth
+        T, level_rows, knobs = depth
         bricks, snodes, tabs, scal_i = meta
         return hako_kernels.intersect_rays_hako(
             bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
-            T=T, level_rows=level_rows, shadow=shadow,
-            **hako_kernels.knobs_for_res(grid_res),
+            T=T, level_rows=level_rows, shadow=shadow, **dict(knobs),
         )
     if block is None:
         block = BLOCK_FOR_KIND[kind]

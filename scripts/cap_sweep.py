@@ -1,6 +1,11 @@
 """Sweep the round-width knobs (CAP_DIV full rung; tail rungs halve
-geometrically) on the production render_frame path. One combo per
-process run (env CAPD/P/D/RES) so jit caches cannot go stale."""
+geometrically) on the production render_frame path.
+
+Single-combo mode: env CAPD/PACKD/UNIQ/TWOB/P/D/RES.
+In-process multi-combo mode: COMBOS="capd:packd:uniq:twob[:p[:d]],..."
+runs every combo in ONE process against one tree load -- safe since the
+resolved knobs ride the accel static tuple into every jit cache key
+(models/accel.py accel_args)."""
 
 import os
 import sys
@@ -66,6 +71,26 @@ def tree_cache(grid_res):
     return tree
 
 
+def run_combo(tree, cam, grid_res, width, height):
+    def frame_sum():
+        img, depth = raycast.render_frame(tree, cam, width, height)
+        fin = depth < 1e37
+        return (float(jnp.sum(jnp.where(fin, depth, 0.0))),
+                int(jnp.sum(fin.astype(jnp.int32))))
+
+    csum, nhit = frame_sum()
+    t0 = time.time()
+    iters = 4
+    for _ in range(iters):
+        frame_sum()
+    dt = (time.time() - t0) / iters
+    print(f"RES={grid_res} CAPD={hk.CAP_DIV} PACKD={hk.PACK_DIV} "
+          f"P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS} UNIQ={hk.UNIQ} "
+          f"TWOB={hk.TWO_BRICK}: "
+          f"{dt*1e3:.1f} ms = {width*height/dt/1e6:.1f} Mrays/s "
+          f"checksum={csum:.2f} hits={nhit}", flush=True)
+
+
 def main():
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
     hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
@@ -84,22 +109,22 @@ def main():
         eye=center + np.array([0.9, 0.4, 1.4]) * extent * 0.9,
         target=center, fovy_deg=40.0)
 
-    def frame_sum():
-        img, depth = raycast.render_frame(tree, cam, width, height)
-        fin = depth < 1e37
-        return (float(jnp.sum(jnp.where(fin, depth, 0.0))),
-                int(jnp.sum(fin.astype(jnp.int32))))
-
-    csum, nhit = frame_sum()
-    t0 = time.time()
-    iters = 4
-    for _ in range(iters):
-        frame_sum()
-    dt = (time.time() - t0) / iters
-    print(f"RES={grid_res} CAPD={hk.CAP_DIV} PACKD={hk.PACK_DIV} "
-          f"P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS} UNIQ={hk.UNIQ}: "
-          f"{dt*1e3:.1f} ms = {width*height/dt/1e6:.1f} Mrays/s "
-          f"checksum={csum:.2f} hits={nhit}", flush=True)
+    combos = os.environ.get("COMBOS")
+    if not combos:
+        run_combo(tree, cam, grid_res, width, height)
+        return
+    defaults = (hk.CAP_DIV, hk.PACK_DIV, hk.UNIQ, hk.TWO_BRICK,
+                hk.MAX_PROBES, hk.MAX_DDA_ITERS)
+    for spec in combos.split(","):
+        parts = [int(x) for x in spec.strip().split(":")]
+        parts += list(defaults[len(parts):])
+        (hk.CAP_DIV, hk.PACK_DIV, hk.UNIQ, hk.TWO_BRICK,
+         hk.MAX_PROBES, hk.MAX_DDA_ITERS) = parts[:6]
+        try:
+            run_combo(tree, cam, grid_res, width, height)
+        except Exception as e:
+            print(f"combo {spec} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
