@@ -118,6 +118,7 @@ TRACE_GATHER = None  # eager-mode stats hook: scripts/dup_stats.py appends
 # nearest in log space. Values come from on-chip sweeps (sweep_r2.log).
 _FACTORY = dict(CAP_DIV=8, PACK_DIV=2, UNIQ=0, TWO_BRICK=0,
                 MAX_PROBES=4, MAX_DDA_ITERS=24)
+# TUNED_BY_RES_BEGIN (rewritten by scripts/pick_knobs.py --apply)
 TUNED_BY_RES = {
     256: {},    # factory knobs are the 256^3 sweep optimum
     1024: {},   # factory knobs are the 1024^3 sweep optimum
@@ -125,6 +126,7 @@ TUNED_BY_RES = {
     # rounds win when nb is huge; nb/64 beat nb/8 by ~2.2x at 54M voxels
     2048: dict(CAP_DIV=64),
 }
+# TUNED_BY_RES_END
 
 _KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
                     TWO_BRICK="two_brick", MAX_PROBES="max_probes",

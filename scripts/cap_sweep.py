@@ -92,6 +92,11 @@ def run_combo(tree, cam, grid_res, width, height):
 
 
 def main():
+    # Sweeps must measure EXACTLY the requested knobs: clear the tuned
+    # table for this process, else knobs_for_res would silently override
+    # any requested value that happens to equal the factory default once
+    # pick_knobs --apply has written sweep winners into it.
+    hk.TUNED_BY_RES = {}
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
     hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
     hk.MAX_PROBES = int(os.environ.get("P", hk.MAX_PROBES))

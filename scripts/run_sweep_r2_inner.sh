@@ -16,6 +16,11 @@ batch() {  # batch RES COMBOS timeout
 #    two-brick on dedup, two-brick alone. combo = capd:packd:uniq:twob[:p[:d]]
 batch 256  "8:1:0:0,8:1:64:0,8:1:128:0,8:1:64:1,8:1:0:1" 4500
 batch 1024 "8:1:0:0,8:1:64:0,8:1:128:0,8:1:64:1,8:1:0:1" 4500
+# 1b) self-apply the headline winners into TUNED_BY_RES so every later
+#     stage (PT timing, rtcamp, the driver's round-end bench.py) runs the
+#     measured optimum even if nobody is watching. pick_knobs skips any
+#     resolution whose combos disagree on checksum (correctness first).
+python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
 # 2) reference-max scale axis: streamed build + render. 4096^3 rung first
 #    (validates the streamed path + fills jit caches), then the 16k^3 /
 #    ~654M-voxel headline (renderer_introduction.pdf p.8)
@@ -39,6 +44,8 @@ batch 256  "8:2:64:0,4:1:64:0,8:2:64:1,8:2:0:0" 4500
 batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24,8:2:0:0,8:4:0:0" 6000
 # 5) 2048^3 (supernode chain; two-brick is non-fat-only so twob=0 here)
 batch 2048 "64:1:0:0,64:1:64:0,64:1:128:0,64:2:64:0,32:1:64:0,64:2:0:0,64:4:0:0" 6000
+# 5b) re-apply with the interaction + 2048 batches folded in
+python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
 # 6) end-to-end rtcamp artifact at round-2 speed (4 frames, per-frame
 #    rebuild + PT + async PNG): the production-shot shape
 echo "--- RTCAMP $(date +%H:%M:%S)" >> "$LOG"
