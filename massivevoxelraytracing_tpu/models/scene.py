@@ -17,6 +17,8 @@ unique count, octree level counts)."""
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -79,9 +81,15 @@ def build_scene(
     if tri_emissions is None:
         tri_emissions = np.zeros_like(tri_verts)
 
+    # Per-phase wall times, stamped at the pipeline's natural host
+    # sync points (the reference's three readbacks), mirroring the
+    # per-phase ms its stats lines surface (seminar_ushio.pdf slide 67:
+    # voxelization+build 135 ms @41M voxels).
+    t_0 = time.time()
     tri, col, emi = meshprep.split_to_cap(
         tri_verts, tri_colors, tri_emissions, origin, dps, grid_res, cap
     )
+    t_split = time.time()
     n_tri = len(tri)
     chunk = min(chunk_tris, octree_ops.bucket(n_tri, floor=1024))
     tri, col, emi = meshprep.pad_triangles(tri, col, emi, chunk)
@@ -104,6 +112,7 @@ def build_scene(
     # pass 1: counts (voxCount)
     counts = [vox_ops.count_voxels(vox_chunk(k)) for k in range(n_chunks)]
     counts = np.asarray(jnp.stack(counts))  # readback 1
+    t_count = time.time()
     total_dumped = int(counts.sum())
     if total_dumped == 0:
         raise ValueError("voxelization produced no voxels")
@@ -170,6 +179,7 @@ def build_scene(
         ]
         uniq = vox_ops.merge_unique_sums(cat[0], cat[1], cat[2:8], cat[8])
     n_unique = int(uniq["n_unique"])  # readback 2
+    t_unique = time.time()
     pad = octree_ops.bucket(n_unique)
     lower = origin_j
     # observability counters the reference surfaces in its stats lines /
@@ -220,7 +230,13 @@ def build_scene(
             emission=uniq["emission"][:pad],
             has_emission=bool(uniq["has_emission"]),
         )
+    t_accel = time.time()
     stats["n_nodes"] = tree.n_nodes
     stats["accel_bytes"] = tree.memory_bytes()
+    stats["t_split_s"] = t_split - t_0
+    stats["t_count_s"] = t_count - t_split
+    stats["t_unique_s"] = t_unique - t_count
+    stats["t_accel_s"] = t_accel - t_unique
+    stats["t_total_s"] = t_accel - t_0
     tree.build_stats = stats
     return tree

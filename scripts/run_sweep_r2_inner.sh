@@ -1,16 +1,34 @@
 #!/bin/bash
 # Round-2 validation + dedup (UNIQ) + two-brick (TWOB) sweep, ordered so
-# the most important results land first in case the tunnel window is
-# short. Combos run IN-PROCESS per resolution (COMBOS mode): the resolved
+# every hard VERDICT "Done" criterion lands before the stretch stages in
+# case the tunnel window is short: headline knob ladder -> PT step ->
+# warm rebuild -> 4096^3 -> 2048^3 knobs -> rtcamp artifact ->
+# interactions -> 16k^3 (the 2h stretch run goes last).
+# Combos run IN-PROCESS per resolution (COMBOS mode): the resolved
 # knobs ride the accel static tuple into every jit cache key, and a
 # failing combo prints and continues instead of killing the batch.
 # (per-row DMA gather pricing already measured 2026-08-17: 27 M rows/s,
 #  loses to XLA take's 51 M rows/s -- commit f91baf0)
 LOG=${LOG:-/tmp/sweep_r2.log}
+SWEEP_END=${SWEEP_END:-$(( $(date +%s) + 14400 ))}
 cd /root/repo
+clip() {  # clip STAGE_TIMEOUT -> min(stage timeout, remaining budget); "" if spent
+  local rem=$(( SWEEP_END - $(date +%s) ))
+  if [ "$rem" -lt 60 ]; then echo ""; else
+    if [ "$rem" -lt "$1" ]; then echo "$rem"; else echo "$1"; fi
+  fi
+}
 batch() {  # batch RES COMBOS timeout
-  echo "--- BATCH RES=$1 [$2] $(date +%H:%M:%S)" >> "$LOG"
-  RES=$1 COMBOS=$2 timeout $3 python scripts/cap_sweep.py >> "$LOG" 2>&1
+  local to=$(clip $3)
+  if [ -z "$to" ]; then echo "--- SKIP RES=$1 (budget spent)" >> "$LOG"; return; fi
+  echo "--- BATCH RES=$1 [$2] $(date +%H:%M:%S) to=${to}s" >> "$LOG"
+  RES=$1 COMBOS=$2 timeout $to python scripts/cap_sweep.py >> "$LOG" 2>&1
+}
+stage() {  # stage NAME TIMEOUT cmd... (env assignments go via `env K=V`)
+  local name=$1 to; to=$(clip $2); shift 2
+  if [ -z "$to" ]; then echo "--- SKIP $name (budget spent)" >> "$LOG"; return; fi
+  echo "--- $name $(date +%H:%M:%S) to=${to}s" >> "$LOG"
+  timeout $to "$@" >> "$LOG" 2>&1
 }
 # 1) the headline ladder at 256/1024: baseline, dedup (UNIQ=64/128),
 #    two-brick on dedup, two-brick alone. combo = capd:packd:uniq:twob[:p[:d]]
@@ -21,35 +39,38 @@ batch 1024 "8:1:0:0,8:1:64:0,8:1:128:0,8:1:64:1,8:1:0:1" 4500
 #     measured optimum even if nobody is watching. pick_knobs skips any
 #     resolution whose combos disagree on checksum (correctness first).
 python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
-# 2) reference-max scale axis: streamed build + render. 4096^3 rung first
-#    (validates the streamed path + fills jit caches), then the 16k^3 /
-#    ~654M-voxel headline (renderer_introduction.pdf p.8)
-echo "--- SCALE 4096 $(date +%H:%M:%S)" >> "$LOG"
-RES=4096 CUBE=512 COLOR=1 OUT=out/scale_shell_4k.png \
-  timeout 3600 python scripts/scale_shell.py >> "$LOG" 2>&1
-echo "--- SCALE 16384 $(date +%H:%M:%S)" >> "$LOG"
-RES=16384 CUBE=1024 TARGET=654e6 OUT=out/scale_shell_16k.png \
-  timeout 7200 python scripts/scale_shell.py >> "$LOG" 2>&1
-# 3) PT step (VERDICT target: <3 s per 16 spp at 640x360 @256^3):
+# 2) PT step (VERDICT target: <3 s per 16 spp at 640x360 @256^3):
 #    does dedup/two-brick transfer to the secondary-bounce wavefronts?
-echo "--- PT UNIQ=0 $(date +%H:%M:%S)" >> "$LOG"
-timeout 3000 python scripts/pt_step_timing.py >> "$LOG" 2>&1
-echo "--- PT UNIQ=64 $(date +%H:%M:%S)" >> "$LOG"
-UNIQ=64 timeout 3000 python scripts/pt_step_timing.py >> "$LOG" 2>&1
-echo "--- PT UNIQ=64 TWOB=1 $(date +%H:%M:%S)" >> "$LOG"
-UNIQ=64 TWOB=1 timeout 3000 python scripts/pt_step_timing.py >> "$LOG" 2>&1
-# 4) interactions: packing x dedup, wider caps, P/D resweep at the dedup
-#    point (the gather collapse moves the P/D optimum)
-batch 256  "8:2:64:0,4:1:64:0,8:2:64:1,8:2:0:0" 4500
-batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24,8:2:0:0,8:4:0:0" 6000
-# 5) 2048^3 (supernode chain; two-brick is non-fat-only so twob=0 here)
+stage "PT UNIQ=0" 3000 python scripts/pt_step_timing.py
+stage "PT UNIQ=64" 3000 env UNIQ=64 python scripts/pt_step_timing.py
+stage "PT UNIQ=64 TWOB=1" 3000 env UNIQ=64 TWOB=1 python scripts/pt_step_timing.py
+# 3) warm per-frame rebuild at reference scale (VERDICT item #4's
+#    "Done =" metric): 7M-tri lattice at 2048^3, build 3x in one
+#    process, per-phase split from scene.build_stats
+stage "REBUILD 2048" 2700 python scripts/rebuild_timing.py
+# 4) reference-max scale axis, first rung: streamed build + render at
+#    4096^3 (validates the streamed path + fills the jit caches the
+#    16k^3 run reuses)
+stage "SCALE 4096" 3600 env RES=4096 CUBE=512 COLOR=1 \
+  OUT=out/scale_shell_4k.png python scripts/scale_shell.py
+# 5) 2048^3 knobs (supernode chain; two-brick is non-fat-only so twob=0)
 batch 2048 "64:1:0:0,64:1:64:0,64:1:128:0,64:2:64:0,32:1:64:0,64:2:0:0,64:4:0:0" 6000
-# 5b) re-apply with the interaction + 2048 batches folded in
+# 5b) re-apply with the 2048 batch folded in
 python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
 # 6) end-to-end rtcamp artifact at round-2 speed (4 frames, per-frame
 #    rebuild + PT + async PNG): the production-shot shape
-echo "--- RTCAMP $(date +%H:%M:%S)" >> "$LOG"
-timeout 3600 python -m massivevoxelraytracing_tpu.apps.rtcamp \
+stage "RTCAMP" 3600 python -m massivevoxelraytracing_tpu.apps.rtcamp \
   --frame-range 0 4 --frames 24 --width 640 --height 360 --steps 2 \
-  --out out/anim_r2 >> "$LOG" 2>&1
+  --out out/anim_r2
+# 7) interactions: packing x dedup, wider caps, P/D resweep at the dedup
+#    point (the gather collapse moves the P/D optimum)
+batch 256  "8:2:64:0,4:1:64:0,8:2:64:1,8:2:0:0" 4500
+batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24,8:2:0:0,8:4:0:0" 6000
+# 8) the 16k^3 / ~654M-voxel stretch headline (renderer_introduction.pdf
+#    p.8) -- last: it can eat 2h and everything above it is a hard
+#    round-2 criterion
+stage "SCALE 16384" 7200 env RES=16384 CUBE=1024 TARGET=654e6 \
+  OUT=out/scale_shell_16k.png python scripts/scale_shell.py
+# 8b) final apply with every batch folded in
+python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
 echo "SWEEP DONE $(date)" >> "$LOG"
