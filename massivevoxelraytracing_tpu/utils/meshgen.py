@@ -100,6 +100,31 @@ def torus_knot(p: int = 2, q: int = 3, n_seg: int = 512, n_ring: int = 32,
     return tri.astype(F)
 
 
+def sphere_lattice(nsp: int = 6, subdiv: int = 4, radius_frac: float = 0.44,
+                   bump: float = 0.15, freq: float = 5.0, seed: int = 11):
+    """nsp^3 jittered bumpy spheres filling the unit cube -- the shared
+    dragon-class benchmark scene (bench.py, scripts/cap_sweep.py,
+    scripts/scale_demo.py). Voxelized occupancy scales as res^2 and matches
+    the reference dragon's density at every grid resolution (54.4M unique
+    voxels at 2048^3 vs the dragon's 55M, seminar_ushio.pdf slide 42).
+    Returns (tri f32[T,3,3], colors f32[T,3,3]); use origin=0, dps=1/res."""
+    base = bumpy_sphere(subdiv, radius=1.0, bump=bump, freq=freq)
+    tris = []
+    cols = []
+    step = 1.0 / nsp
+    r = radius_frac * step
+    rng = np.random.default_rng(seed)
+    for i in range(nsp):
+        for j in range(nsp):
+            for k in range(nsp):
+                c = (np.array([i, j, k], F) + 0.5) * step
+                c += rng.uniform(-0.08, 0.08, 3).astype(F) * step
+                tris.append(base * r + c)
+                col = 0.25 + 0.75 * rng.uniform(0, 1, 3).astype(F)
+                cols.append(np.broadcast_to(col, base.shape).copy())
+    return np.concatenate(tris), np.concatenate(cols)
+
+
 def quad_plane(y: float = 0.0, half: float = 1.0, center=(0, 0, 0)):
     c = np.asarray(center, np.float64)
     v = np.array(

@@ -30,10 +30,15 @@ from massivevoxelraytracing_tpu.utils import meshgen  # noqa: E402
 
 def tree_cache(grid_res):
     """Build-once cache: a 2048^3 build costs ~10 min on the tunneled chip,
-    so sweeps store the finished HakoTree as an npz keyed by resolution."""
+    so sweeps store the finished HakoTree as an npz keyed by resolution.
+
+    Scene: the shared dragon-occupancy sphere lattice (meshgen.sphere_lattice
+    -- the same scene bench.py measures, so swept knob winners transfer
+    exactly; the round-1 bumpy sphere had only ~4% of the dragon's
+    occupancy and was called out by the round-1 review)."""
     from massivevoxelraytracing_tpu.ops import hako
 
-    path = f"/tmp/hako_tree_{grid_res}.npz"
+    path = f"/tmp/hako_tree_lat64_{grid_res}.npz"
     if os.path.exists(path):
         z = np.load(path, allow_pickle=False)
         n_lv = int(z["n_lv"])
@@ -50,10 +55,12 @@ def tree_cache(grid_res):
             snodes=(jnp.asarray(z["snodes"]) if "snodes" in z else None),
             n_snodes=int(z["n_snodes"]),
         )
-    tri = meshgen.bumpy_sphere(5, radius=0.9)
-    origin, dps = meshgen.fit_grid(tri, grid_res)
+    tri, cols = meshgen.sphere_lattice(6, 4)
+    origin = np.zeros(3, np.float32)
+    dps = 1.0 / grid_res
     tree = scene.build_scene(
-        tri, origin=origin, dps=dps, grid_res=grid_res, accel="hako")
+        tri, cols, origin=origin, dps=dps, grid_res=grid_res, accel="hako",
+        chunk_tris=262144)
     arrs = dict(
         bricks=np.asarray(tree.bricks), n_bricks=tree.n_bricks,
         n_lv=len(tree.levels),

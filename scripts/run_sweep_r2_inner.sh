@@ -57,6 +57,10 @@ stage "SCALE 4096" 3600 env RES=4096 CUBE=512 COLOR=1 \
 batch 2048 "64:1:0:0,64:1:64:0,64:1:128:0,64:2:64:0,32:1:64:0,64:2:0:0,64:4:0:0" 6000
 # 5b) re-apply with the 2048 batch folded in
 python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
+# 5c) pre-warm the driver's round-end bench (same lattice scene as the
+#     sweeps): fills the build+render jit caches for bench.py's shapes
+#     and logs a bench preview at the applied knobs
+stage "BENCH WARM" 2400 python bench.py
 # 6) end-to-end rtcamp artifact at round-2 speed (4 frames, per-frame
 #    rebuild + PT + async PNG): the production-shot shape
 stage "RTCAMP" 3600 python -m massivevoxelraytracing_tpu.apps.rtcamp \

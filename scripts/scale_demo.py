@@ -33,21 +33,9 @@ from massivevoxelraytracing_tpu.utils import meshgen, png  # noqa: E402
 
 
 def sphere_lattice(nsp: int, subdiv: int, radius_frac: float):
-    base = meshgen.bumpy_sphere(subdiv, radius=1.0, bump=0.15, freq=5)
-    tris = []
-    cols = []
-    step = 1.0 / nsp
-    r = radius_frac * step
-    rng = np.random.default_rng(11)
-    for i in range(nsp):
-        for j in range(nsp):
-            for k in range(nsp):
-                c = (np.array([i, j, k], np.float32) + 0.5) * step
-                c += rng.uniform(-0.08, 0.08, 3).astype(np.float32) * step
-                tris.append(base * r + c)
-                col = 0.25 + 0.75 * rng.uniform(0, 1, 3).astype(np.float32)
-                cols.append(np.broadcast_to(col, base.shape).copy())
-    return np.concatenate(tris), np.concatenate(cols)
+    # moved to utils/meshgen.sphere_lattice (shared with bench.py and
+    # scripts/cap_sweep.py); kept as a thin alias for older callers
+    return meshgen.sphere_lattice(nsp, subdiv, radius_frac)
 
 
 def main():
