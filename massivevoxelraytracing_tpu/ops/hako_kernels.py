@@ -108,6 +108,9 @@ PACK_DIV = 2               # emit-dense packing: the brick-row gather and
 TRACE_GATHER = None  # eager-mode stats hook: scripts/dup_stats.py appends
                      # (ids, emit) per round's row gather to measure brick-id
                      # duplication within blocks (dedup-gather sizing)
+TRACE_ACT = None     # eager-mode stats hook: scripts/act_stats.py appends
+                     # (n_blocks_picked, act) per round to measure active-lane
+                     # density inside picked blocks (kernel-A packing sizing)
 
 
 # Per-resolution tuned knob table, consulted by knobs_for_res() for any
@@ -1154,6 +1157,10 @@ def _make_round(
         rays_c = [pick(x) for x in rays_b]
         tq_c = pick(t_q)
         act = (pick(resolved) == 0).astype(I32)
+        if TRACE_ACT is not None and interpret:
+            TRACE_ACT.append(
+                (int(np.sum(np.asarray(sel) < nb)), np.asarray(act))
+            )
 
         a_out = a_call(scal_i, sf, *tabs, *rays_c, tq_c, act)
         emit, child, bt1x, bt1y, bt1z, tqe, tqn, exh = a_out[:8]
@@ -1309,6 +1316,7 @@ def _init_state(nb):
     static_argnames=(
         "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
         "pack_div", "uniq", "max_probes", "max_dda", "two_brick",
+        "interpret",
     ),
 )
 def _intersect_padded(
@@ -1316,6 +1324,7 @@ def _intersect_padded(
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
     max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
+    interpret: bool = False,
 ):
     """TPU path: jitted while_loop of block-compacted rounds.
 
@@ -1364,7 +1373,7 @@ def _intersect_padded(
         body = _make_round(
             bricks, snodes, tabs, scal_i, sf, rays_b,
             nb=nb, cap=c, T=T, level_rows=level_rows, shadow=shadow,
-            interpret=False, pack_div=pack_div, uniq=uniq,
+            interpret=interpret, pack_div=pack_div, uniq=uniq,
             max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
         )
         if k + 1 < len(ladder):
@@ -1456,11 +1465,22 @@ def intersect_rays_hako(
         cap_blocks = max(
             (rpad // RB) // (CAP_DIV if cap_div is None else cap_div), 1
         )
-    fn = _intersect_padded_eager if interpret else _intersect_padded
+    kw = {}
+    if interpret and isinstance(ro, jax.core.Tracer):
+        # called under an outer jit off-TPU (e.g. the driver's entry()
+        # compile check): the eager per-round Python loop cannot trace, so
+        # run the jitted while_loop driver with interpret-mode kernels.
+        # Caveat (why eager stays the off-jit default, see
+        # _intersect_padded_eager's docstring): fused interpret kernels can
+        # rematerialize shared float exprs with different FMA contraction,
+        # which the strict resume-key comparisons rely on being identical.
+        fn, kw = _intersect_padded, dict(interpret=True)
+    else:
+        fn = _intersect_padded_eager if interpret else _intersect_padded
     t, nmaj, vidx = fn(
         bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
         T=T, level_rows=level_rows, shadow=shadow, max_rounds=max_rounds,
-        cap_blocks=cap_blocks,
+        cap_blocks=cap_blocks, **kw,
         pack_div=PACK_DIV if pack_div is None else pack_div,
         uniq=UNIQ if uniq is None else uniq,
         max_probes=MAX_PROBES if max_probes is None else max_probes,
