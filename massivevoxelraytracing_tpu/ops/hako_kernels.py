@@ -90,6 +90,24 @@ UNIQ = 0                   # per-block dedup-gather budget (0 disables).
                            # (exact: products are single 0/1 x <=255 terms --
                            # kernel A's node-fetch trick). Lanes ranked past
                            # the budget defer exactly like pack overflow.
+VAC_PICK = 0               # straggler-vacuum tail rung (0 disables): once
+                           # <= VAC_PICK blocks are active, rounds PICK
+                           # VAC_PICK blocks but lane-pack them act-first
+                           # (one stable multi-operand sort, the PACK_DIV
+                           # trick at round granularity) and run the WHOLE
+                           # round -- kernel A, gather, kernel B -- on a
+                           # VAC_RUN-block dense prefix. The block-cap
+                           # ladder fixes block-level sparsity but not
+                           # intra-block sparsity: measured at 256^3
+                           # (scripts/act_stats.py) 70 of 83 rounds are
+                           # tail rounds at 1-36% active-lane density, so
+                           # kernels run 8192 lane slots for ~100 live
+                           # lanes. Over-prefix active lanes defer with
+                           # their state untouched (same contract as pack/
+                           # dedup overflow). The vacuum rung forces
+                           # pack_div=1, uniq=0 (its prefix is already
+                           # dense and its gather is tiny).
+VAC_RUN = 2                # blocks the vacuum rung actually runs
 PACK_DIV = 2               # emit-dense packing: the brick-row gather and
                            # kernel B run on cap/PACK_DIV blocks of lanes
                            # sorted emit-first (1 disables). The row gather is
@@ -120,7 +138,7 @@ TRACE_ACT = None     # eager-mode stats hook: scripts/act_stats.py appends
 # the per-scale optimum. Keys are grid resolutions; lookup picks the
 # nearest in log space. Values come from on-chip sweeps (sweep_r2.log).
 _FACTORY = dict(CAP_DIV=8, PACK_DIV=2, UNIQ=0, TWO_BRICK=0,
-                MAX_PROBES=4, MAX_DDA_ITERS=24)
+                MAX_PROBES=4, MAX_DDA_ITERS=24, VAC_PICK=0, VAC_RUN=2)
 # TUNED_BY_RES_BEGIN (rewritten by scripts/pick_knobs.py --apply)
 TUNED_BY_RES = {
     256: {},    # factory knobs are the 256^3 sweep optimum
@@ -133,7 +151,8 @@ TUNED_BY_RES = {
 
 _KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
                     TWO_BRICK="two_brick", MAX_PROBES="max_probes",
-                    MAX_DDA_ITERS="max_dda")
+                    MAX_DDA_ITERS="max_dda", VAC_PICK="vac_pick",
+                    VAC_RUN="vac_run")
 
 
 def knobs_for_res(grid_res: int) -> dict:
@@ -912,6 +931,7 @@ def _make_round(
     nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
     interpret: bool, pack_div: int, uniq: int,
     max_probes: int, max_dda: int, two_brick: bool = False,
+    run_cap: int | None = None,
 ):
     """Builds one traversal-round function over BLOCK-compacted state.
 
@@ -925,12 +945,22 @@ def _make_round(
     end on this backend: 2M-index gathers/scatters of 7 state arrays run on
     the scalar core and cost ~100 ms per round at full width (measured
     2.5 s/frame vs 137 ms for the identical kernels, 2026-08 session logs).
+
+    run_cap < cap ("vacuum" mode, VAC_PICK/VAC_RUN): the round still PICKS
+    cap blocks, but lane-packs them act-first with ONE stable multi-operand
+    lax.sort (rides the vectorized merge passes, NOT the scalar-core
+    nonzero/scatter path above) and runs kernels + gather on a run_cap-block
+    dense prefix; a second sort by original lane position unpermutes.
+    Active lanes ranked past the prefix defer with their state untouched.
     """
-    grid = cap
-    s2 = cap * S_BLK
+    rcap = run_cap if (run_cap is not None and run_cap < cap) else cap
+    vac = rcap < cap
+    grid = rcap
+    s2 = rcap * S_BLK          # kernel working width
+    s2f = cap * S_BLK          # full picked width
     shape = (s2, 128)
-    bcap = max(cap // pack_div, 1) if pack_div > 1 else cap
-    pack = bcap < cap
+    bcap = max(rcap // pack_div, 1) if pack_div > 1 else rcap
+    pack = bcap < rcap
     s2b = bcap * S_BLK
 
     smem = pl.BlockSpec((1, 8), _rep, memory_space=pltpu.SMEM)
@@ -1020,9 +1050,6 @@ def _make_round(
     if fat:
         b_snode = make_b(T, False)
 
-    def r2(v):
-        return v.reshape(shape)
-
     def gather_rows(table_pair, emit, child):
         tab_a, tab_m = table_pair
         ids = jnp.where(emit != 0, child, 0).reshape(-1)
@@ -1088,7 +1115,7 @@ def _make_round(
         ]
         return planes, rank_blk, rank_ok
 
-    n_lanes = cap * RB
+    n_lanes = rcap * RB
     m_lanes = bcap * RB
 
     def row_stage(bfn, table, go_in, child_in, rays_in, p1, p2, p3, tqe_in):
@@ -1138,7 +1165,7 @@ def _make_round(
             for o, f in zip(outs, fills)
         ]
         res = jax.lax.sort((pos_s, served_s, *padded), is_stable=False)
-        return [x.reshape(cap * S_BLK, 128) for x in res[1:]]
+        return [x.reshape(s2, 128) for x in res[1:]]
 
     def body(st):
         it, resolved, t_q, t_out, nmaj_out, vidx_out = st
@@ -1152,15 +1179,53 @@ def _make_round(
         sel = jnp.where(sel_r < nb, (sel_r + shift) % nb, nb)  # [cap]
 
         def pick(x):
-            return r2(jnp.take(x, sel, axis=0, mode="clip"))
+            return jnp.take(x, sel, axis=0, mode="clip").reshape(s2f, 128)
 
-        rays_c = [pick(x) for x in rays_b]
-        tq_c = pick(t_q)
-        act = (pick(resolved) == 0).astype(I32)
+        rays_f = [pick(x) for x in rays_b]
+        tq_f = pick(t_q)
+        res_f = pick(resolved)
+        t_f = pick(t_out)
+        nm_f = pick(nmaj_out)
+        vi_f = pick(vidx_out)
+        act_f = (res_f == 0).astype(I32)
         if TRACE_ACT is not None and interpret:
             TRACE_ACT.append(
-                (int(np.sum(np.asarray(sel) < nb)), np.asarray(act))
+                (int(np.sum(np.asarray(sel) < nb)), np.asarray(act_f))
             )
+
+        if vac:
+            # act-first lane pack across the cap picked blocks; the round
+            # runs on the rcap-block dense prefix. Stable sort keeps source
+            # -block neighborhoods adjacent, so packed blocks retain most
+            # of their pixel-tile brick locality.
+            nlf = cap * RB
+            key = jnp.where(
+                act_f.reshape(-1) != 0, jnp.uint32(0), jnp.uint32(1)
+            )
+            posf = jnp.arange(nlf, dtype=I32)
+            srt = jax.lax.sort(
+                (key, posf, *[x.reshape(-1) for x in rays_f],
+                 tq_f.reshape(-1), res_f.reshape(-1), t_f.reshape(-1),
+                 nm_f.reshape(-1), vi_f.reshape(-1)),
+                num_keys=1, is_stable=True,
+            )
+            key_s, pos_s = srt[0], srt[1]
+
+            def headk(x):
+                return jax.lax.slice(x, (0,), (n_lanes,)).reshape(s2, 128)
+
+            rays_c = [headk(x) for x in srt[2:8]]
+            tq_c = headk(srt[8])
+            res_cur = headk(srt[9])
+            t_cur = headk(srt[10])
+            nm_cur = headk(srt[11])
+            vi_cur = headk(srt[12])
+            act = (headk(key_s) == 0).astype(I32)
+        else:
+            rays_c = rays_f
+            tq_c = tq_f
+            res_cur, t_cur, nm_cur, vi_cur = res_f, t_f, nm_f, vi_f
+            act = act_f
 
         a_out = a_call(scal_i, sf, *tabs, *rays_c, tq_c, act)
         emit, child, bt1x, bt1y, bt1z, tqe, tqn, exh = a_out[:8]
@@ -1280,13 +1345,37 @@ def _make_round(
             vr = jnp.where(hit2, vr_b, vr)
             hit = jnp.where(hit2, jnp.int32(1), hit)
         newhit = (act != 0) & (hit != 0)
-        t_c = jnp.where(newhit, t_hit, pick(t_out))
-        nm_c = jnp.where(newhit, nmaj, pick(nmaj_out))
-        vi_c = jnp.where(newhit, vr, pick(vidx_out))
+        t_c = jnp.where(newhit, t_hit, t_cur)
+        nm_c = jnp.where(newhit, nmaj, nm_cur)
+        vi_c = jnp.where(newhit, vr, vi_cur)
         res_c = jnp.where(
-            (act != 0) & (newhit | (exh != 0)), 1, pick(resolved)
+            (act != 0) & (newhit | (exh != 0)), 1, res_cur
         )
         tq_n = jnp.where(act != 0, tqn, tq_c)
+
+        if vac:
+            # unpermute the rcap-block prefix back to the cap picked blocks;
+            # lanes past the prefix (deferred actives + the sorted-away
+            # inactive tail) keep their original state untouched
+            served_s = (jnp.arange(nlf, dtype=I32) < n_lanes).astype(I32)
+
+            def padk(x, fill):
+                return jnp.concatenate([
+                    x.reshape(-1),
+                    jnp.full((nlf - n_lanes,), fill, x.dtype),
+                ])
+
+            unp = jax.lax.sort(
+                (pos_s, served_s, padk(res_c, 0), padk(tq_n, 0.0),
+                 padk(t_c, 0.0), padk(nm_c, 0), padk(vi_c, 0)),
+                num_keys=1, is_stable=False,
+            )
+            sv = unp[1].reshape(s2f, 128) != 0
+            res_c = jnp.where(sv, unp[2].reshape(s2f, 128), res_f)
+            tq_n = jnp.where(sv, unp[3].reshape(s2f, 128), tq_f)
+            t_c = jnp.where(sv, unp[4].reshape(s2f, 128), t_f)
+            nm_c = jnp.where(sv, unp[5].reshape(s2f, 128), nm_f)
+            vi_c = jnp.where(sv, unp[6].reshape(s2f, 128), vi_f)
 
         def put(x, v):
             return x.at[sel].set(v.reshape(cap, RB), mode="drop")
@@ -1316,7 +1405,7 @@ def _init_state(nb):
     static_argnames=(
         "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
         "pack_div", "uniq", "max_probes", "max_dda", "two_brick",
-        "interpret",
+        "vac_pick", "vac_run", "interpret",
     ),
 )
 def _intersect_padded(
@@ -1324,7 +1413,7 @@ def _intersect_padded(
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
     max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
-    interpret: bool = False,
+    vac_pick: int = 0, vac_run: int = 2, interpret: bool = False,
 ):
     """TPU path: jitted while_loop of block-compacted rounds.
 
@@ -1345,6 +1434,10 @@ def _intersect_padded(
             # incoherent blocks (worst case) need RB/uniq x more rounds.
             # The loop exits on convergence, so this only bounds safety.
             max_rounds *= max(RB // uniq, 1)
+        if vac_pick:
+            # vacuum rounds serve at most vac_run of vac_pick blocks'
+            # worth of active lanes; safety bound only (exits on converge)
+            max_rounds += 64 * max(vac_pick // max(vac_run, 1), 1) + 256
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -1368,16 +1461,28 @@ def _intersect_padded(
         ladder.append(max(ladder[-1] // 2, 16))
     if ladder[-1] > 8:
         ladder.append(8)
+    # straggler-vacuum tail: once <= vac_pick blocks are active, pick them
+    # all but lane-pack act-first and run on a vac_run-block prefix (see
+    # _make_round's run_cap and the VAC_PICK knob comment). Forces
+    # pack_div=1/uniq=0: the packed prefix is already dense and its row
+    # gather is vac_run*RB rows at most.
+    vacp = min(vac_pick, nb) if vac_pick else 0
+    vacr = max(min(vac_run, vacp), 1) if vacp else 0
+    rungs = [(c, None) for c in ladder if c > vacp]
+    if vacp:
+        rungs.append((vacp, vacr))
     st = _init_state(nb)
-    for k, c in enumerate(ladder):
+    for k, (c, rc) in enumerate(rungs):
         body = _make_round(
             bricks, snodes, tabs, scal_i, sf, rays_b,
             nb=nb, cap=c, T=T, level_rows=level_rows, shadow=shadow,
-            interpret=interpret, pack_div=pack_div, uniq=uniq,
+            interpret=interpret,
+            pack_div=1 if rc else pack_div, uniq=0 if rc else uniq,
             max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
+            run_cap=rc,
         )
-        if k + 1 < len(ladder):
-            nxt = ladder[k + 1]
+        if k + 1 < len(rungs):
+            nxt = rungs[k + 1][0]
 
             def cond(st, nxt=nxt):
                 nblk = jnp.sum(jnp.any(st[1] == 0, axis=1).astype(I32))
@@ -1398,6 +1503,7 @@ def _intersect_padded_eager(
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
     max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
+    vac_pick: int = 0, vac_run: int = 2,
 ):
     """CPU/interpret path: the same rounds driven by a Python loop.
 
@@ -1415,6 +1521,8 @@ def _intersect_padded_eager(
         max_rounds = 64 * max(nb // cap, 1) + 256
         if uniq:
             max_rounds *= max(RB // uniq, 1)
+        if vac_pick:
+            max_rounds += 64 * max(vac_pick // max(vac_run, 1), 1) + 256
     rays_b = [
         x.reshape(nb, RB)
         for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
@@ -1429,9 +1537,24 @@ def _intersect_padded_eager(
         interpret=True, pack_div=pack_div, uniq=uniq,
         max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
     )
+    vacp = min(vac_pick, nb) if vac_pick else 0
+    vacr = max(min(vac_run, vacp), 1) if vacp else 0
+    vac_body = None
+    if vacp:
+        vac_body = _make_round(
+            bricks, snodes, tabs, scal_i, sf, rays_b,
+            nb=nb, cap=vacp, T=T, level_rows=level_rows, shadow=shadow,
+            interpret=True, pack_div=1, uniq=0,
+            max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
+            run_cap=vacr,
+        )
     st = _init_state(nb)
     while int(st[0]) < max_rounds and bool(jnp.any(st[1] == 0)):
-        st = body(st)
+        if vac_body is not None and cap > vacp:
+            nblk = int(jnp.sum(jnp.any(st[1] == 0, axis=1).astype(I32)))
+            st = body(st) if nblk > vacp else vac_body(st)
+        else:
+            st = (vac_body or body)(st)
     _, _, _, t_out, nmaj_out, vidx_out = st
     return (
         t_out.reshape(R), nmaj_out.reshape(R), vidx_out.reshape(R).astype(U32)
@@ -1447,6 +1570,7 @@ def intersect_rays_hako(
     pack_div: int | None = None, uniq: int | None = None,
     max_probes: int | None = None, max_dda: int | None = None,
     two_brick: bool | None = None,
+    vac_pick: int | None = None, vac_run: int | None = None,
 ):
     """Full-frame traversal; pads the ray count to a multiple of 2048.
 
@@ -1486,6 +1610,8 @@ def intersect_rays_hako(
         max_probes=MAX_PROBES if max_probes is None else max_probes,
         max_dda=MAX_DDA_ITERS if max_dda is None else max_dda,
         two_brick=bool(TWO_BRICK) if two_brick is None else bool(two_brick),
+        vac_pick=VAC_PICK if vac_pick is None else vac_pick,
+        vac_run=VAC_RUN if vac_run is None else vac_run,
     )
     return t[:R], nmaj[:R], vidx[:R]
 

@@ -1,8 +1,9 @@
 """Sweep the round-width knobs (CAP_DIV full rung; tail rungs halve
 geometrically) on the production render_frame path.
 
-Single-combo mode: env CAPD/PACKD/UNIQ/TWOB/P/D/RES.
-In-process multi-combo mode: COMBOS="capd:packd:uniq:twob[:p[:d]],..."
+Single-combo mode: env CAPD/PACKD/UNIQ/TWOB/P/D/VACP/VACR/RES.
+In-process multi-combo mode:
+COMBOS="capd:packd:uniq:twob[:p[:d[:vacp[:vacr]]]],..."
 runs every combo in ONE process against one tree load -- safe since the
 resolved knobs ride the accel static tuple into every jit cache key
 (models/accel.py accel_args)."""
@@ -93,7 +94,7 @@ def run_combo(tree, cam, grid_res, width, height):
     dt = (time.time() - t0) / iters
     print(f"RES={grid_res} CAPD={hk.CAP_DIV} PACKD={hk.PACK_DIV} "
           f"P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS} UNIQ={hk.UNIQ} "
-          f"TWOB={hk.TWO_BRICK}: "
+          f"TWOB={hk.TWO_BRICK} VACP={hk.VAC_PICK} VACR={hk.VAC_RUN}: "
           f"{dt*1e3:.1f} ms = {width*height/dt/1e6:.1f} Mrays/s "
           f"checksum={csum:.2f} hits={nhit}", flush=True)
 
@@ -110,6 +111,8 @@ def main():
     hk.MAX_DDA_ITERS = int(os.environ.get("D", hk.MAX_DDA_ITERS))
     hk.UNIQ = int(os.environ.get("UNIQ", hk.UNIQ))
     hk.TWO_BRICK = int(os.environ.get("TWOB", hk.TWO_BRICK))
+    hk.VAC_PICK = int(os.environ.get("VACP", hk.VAC_PICK))
+    hk.VAC_RUN = int(os.environ.get("VACR", hk.VAC_RUN))
     grid_res = int(os.environ.get("RES", 256))
     width, height = 1920, 1088
     tree = tree_cache(grid_res)
@@ -126,12 +129,13 @@ def main():
         run_combo(tree, cam, grid_res, width, height)
         return
     defaults = (hk.CAP_DIV, hk.PACK_DIV, hk.UNIQ, hk.TWO_BRICK,
-                hk.MAX_PROBES, hk.MAX_DDA_ITERS)
+                hk.MAX_PROBES, hk.MAX_DDA_ITERS, hk.VAC_PICK, hk.VAC_RUN)
     for spec in combos.split(","):
         parts = [int(x) for x in spec.strip().split(":")]
         parts += list(defaults[len(parts):])
         (hk.CAP_DIV, hk.PACK_DIV, hk.UNIQ, hk.TWO_BRICK,
-         hk.MAX_PROBES, hk.MAX_DDA_ITERS) = parts[:6]
+         hk.MAX_PROBES, hk.MAX_DDA_ITERS, hk.VAC_PICK,
+         hk.VAC_RUN) = parts[:8]
         try:
             run_combo(tree, cam, grid_res, width, height)
         except Exception as e:

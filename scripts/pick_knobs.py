@@ -22,7 +22,8 @@ from collections import defaultdict
 
 PAT = re.compile(
     r"RES=(\d+) CAPD=(\d+) PACKD=(\d+) P=(\d+) D=(\d+) UNIQ=(\d+)"
-    r"(?: TWOB=(\d+))?: ([0-9.]+) ms = ([0-9.]+) Mrays/s "
+    r"(?: TWOB=(\d+))?(?: VACP=(\d+) VACR=(\d+))?: "
+    r"([0-9.]+) ms = ([0-9.]+) Mrays/s "
     r"checksum=([-0-9.einf]+) hits=(\d+)"
 )
 
@@ -35,12 +36,21 @@ BEGIN = "# TUNED_BY_RES_BEGIN"
 END = "# TUNED_BY_RES_END"
 
 
-def entry_line(best):
-    return (
-        f"dict(CAP_DIV={best['capd']}, PACK_DIV={best['packd']}, "
-        f"UNIQ={best['uniq']}, TWO_BRICK={best['twob']}, "
-        f"MAX_PROBES={best['p']}, MAX_DDA_ITERS={best['d']})"
+def _winner_dict(best):
+    out = dict(
+        CAP_DIV=best["capd"], PACK_DIV=best["packd"], UNIQ=best["uniq"],
+        TWO_BRICK=best["twob"], MAX_PROBES=best["p"],
+        MAX_DDA_ITERS=best["d"],
     )
+    if best.get("vacp"):  # vacuum off (0) stays implicit: old logs and the
+        out["VAC_PICK"] = best["vacp"]       # factory default agree on it
+        out["VAC_RUN"] = best.get("vacr", 2)
+    return out
+
+
+def entry_line(best):
+    body = ", ".join(f"{k}={v}" for k, v in _winner_dict(best).items())
+    return f"dict({body})"
 
 
 def apply_winners(winners):
@@ -57,11 +67,7 @@ def apply_winners(winners):
     table = eval(block.split("=", 1)[1], {"dict": dict})
     table = {r: dict(v) for r, v in table.items()}
     for res, (best, mrays) in winners.items():
-        table[res] = dict(
-            CAP_DIV=best["capd"], PACK_DIV=best["packd"], UNIQ=best["uniq"],
-            TWO_BRICK=best["twob"], MAX_PROBES=best["p"],
-            MAX_DDA_ITERS=best["d"],
-        )
+        table[res] = _winner_dict(best)
     lines = ["TUNED_BY_RES = {"]
     for res in sorted(table):
         tag = ""
@@ -86,11 +92,12 @@ def main():
             continue
         res, capd, packd, p, d, uniq = (int(m.group(i)) for i in range(1, 7))
         twob = int(m.group(7) or 0)
-        ms, mrays = float(m.group(8)), float(m.group(9))
-        csum, hits = m.group(10), int(m.group(11))
+        vacp, vacr = int(m.group(8) or 0), int(m.group(9) or 2)
+        ms, mrays = float(m.group(10)), float(m.group(11))
+        csum, hits = m.group(12), int(m.group(13))
         rows[res].append(dict(capd=capd, packd=packd, p=p, d=d, uniq=uniq,
-                              twob=twob, ms=ms, mrays=mrays, csum=csum,
-                              hits=hits))
+                              twob=twob, vacp=vacp, vacr=vacr, ms=ms,
+                              mrays=mrays, csum=csum, hits=hits))
     winners = {}
     for res in sorted(rows):
         rs = rows[res]
@@ -103,7 +110,8 @@ def main():
             winners[res] = (best, best["mrays"])
         for r in sorted(rs, key=lambda r: -r["mrays"]):
             print(f"RES={res} capd={r['capd']} packd={r['packd']} "
-                  f"uniq={r['uniq']} twob={r['twob']} p={r['p']} d={r['d']}"
+                  f"uniq={r['uniq']} twob={r['twob']} p={r['p']} d={r['d']} "
+                  f"vac={r['vacp']}/{r['vacr']}"
                   f": {r['ms']:8.1f} ms  {r['mrays']:6.1f} Mrays/s")
         best = max(rs, key=lambda r: r["mrays"])
         print(f"    {res}: {entry_line(best)},")

@@ -32,6 +32,8 @@ def main():
     hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
     hk.UNIQ = int(os.environ.get("UNIQ", hk.UNIQ))
     hk.TWO_BRICK = int(os.environ.get("TWOB", hk.TWO_BRICK))
+    hk.VAC_PICK = int(os.environ.get("VACP", hk.VAC_PICK))
+    hk.VAC_RUN = int(os.environ.get("VACR", hk.VAC_RUN))
     width, height = 640, 360
 
     tri = meshgen.bumpy_sphere(5, radius=0.9)

@@ -31,9 +31,11 @@ stage() {  # stage NAME TIMEOUT cmd... (env assignments go via `env K=V`)
   timeout $to "$@" >> "$LOG" 2>&1
 }
 # 1) the headline ladder at 256/1024: baseline, dedup (UNIQ=64/128),
-#    two-brick on dedup, two-brick alone. combo = capd:packd:uniq:twob[:p[:d]]
-batch 256  "8:1:0:0,8:1:64:0,8:1:128:0,8:1:64:1,8:1:0:1" 4500
-batch 1024 "8:1:0:0,8:1:64:0,8:1:128:0,8:1:64:1,8:1:0:1" 4500
+#    two-brick on dedup, two-brick alone, straggler vacuum (alone + on
+#    dedup; act_stats measured 70 of 83 rounds are 1-36%-density tail
+#    rounds). combo = capd:packd:uniq:twob[:p[:d[:vacp[:vacr]]]]
+batch 256  "8:1:0:0,8:1:64:0,8:1:128:0,8:1:64:1,8:1:0:1,8:1:0:0:4:24:64:2,8:1:64:0:4:24:64:2" 5400
+batch 1024 "8:1:0:0,8:1:64:0,8:1:128:0,8:1:64:1,8:1:0:1,8:1:0:0:4:24:64:2,8:1:64:0:4:24:64:2" 5400
 # 1b) self-apply the headline winners into TUNED_BY_RES so every later
 #     stage (PT timing, rtcamp, the driver's round-end bench.py) runs the
 #     measured optimum even if nobody is watching. pick_knobs skips any
@@ -44,6 +46,10 @@ python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
 stage "PT UNIQ=0" 3000 python scripts/pt_step_timing.py
 stage "PT UNIQ=64" 3000 env UNIQ=64 python scripts/pt_step_timing.py
 stage "PT UNIQ=64 TWOB=1" 3000 env UNIQ=64 TWOB=1 python scripts/pt_step_timing.py
+# secondary-bounce wavefronts are straggler-heavy: vacuum should bite
+# hardest here (act_stats: tail rounds run at 1-36% lane density)
+stage "PT VAC" 3000 env VACP=64 python scripts/pt_step_timing.py
+stage "PT VAC UNIQ=64" 3000 env VACP=64 UNIQ=64 python scripts/pt_step_timing.py
 # 3) warm per-frame rebuild at reference scale (VERDICT item #4's
 #    "Done =" metric): 7M-tri lattice at 2048^3, build 3x in one
 #    process, per-phase split from scene.build_stats
@@ -54,7 +60,7 @@ stage "REBUILD 2048" 2700 python scripts/rebuild_timing.py
 stage "SCALE 4096" 3600 env RES=4096 CUBE=512 COLOR=1 \
   OUT=out/scale_shell_4k.png python scripts/scale_shell.py
 # 5) 2048^3 knobs (supernode chain; two-brick is non-fat-only so twob=0)
-batch 2048 "64:1:0:0,64:1:64:0,64:1:128:0,64:2:64:0,32:1:64:0,64:2:0:0,64:4:0:0" 6000
+batch 2048 "64:1:0:0,64:1:64:0,64:1:128:0,64:2:64:0,32:1:64:0,64:2:0:0,64:4:0:0,64:1:0:0:4:24:64:2,64:1:64:0:4:24:64:2" 7200
 # 5b) re-apply with the 2048 batch folded in
 python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
 # 5c) pre-warm the driver's round-end bench (same lattice scene as the
@@ -67,9 +73,9 @@ stage "RTCAMP" 3600 python -m massivevoxelraytracing_tpu.apps.rtcamp \
   --frame-range 0 4 --frames 24 --width 640 --height 360 --steps 2 \
   --out out/anim_r2
 # 7) interactions: packing x dedup, wider caps, P/D resweep at the dedup
-#    point (the gather collapse moves the P/D optimum)
-batch 256  "8:2:64:0,4:1:64:0,8:2:64:1,8:2:0:0" 4500
-batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24,8:2:0:0,8:4:0:0" 6000
+#    point (the gather collapse moves the P/D optimum), vacuum width/entry
+batch 256  "8:2:64:0,4:1:64:0,8:2:64:1,8:2:0:0,8:1:0:0:4:24:64:1,8:1:0:0:4:24:128:2,8:1:0:0:4:24:32:2" 5400
+batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24,8:2:0:0,8:4:0:0,8:1:0:0:4:24:64:1,8:1:0:0:4:24:128:2" 7200
 # 8) the 16k^3 / ~654M-voxel stretch headline (renderer_introduction.pdf
 #    p.8) -- last: it can eat 2h and everything above it is a hard
 #    round-2 criterion

@@ -255,6 +255,45 @@ def test_hako_two_brick_equivalence(pack, uniq, dda, monkeypatch):
         np.testing.assert_array_equal(r, g)
 
 
+@pytest.mark.parametrize("grid_res,uniq,pack,vacp,vacr", [
+    (256, 0, 1, 2, 1),     # full rungs then vacuum, 1-block prefix
+    (256, 64, 2, 2, 2),    # vacuum composed with dedup + packing rungs
+    (256, 0, 1, 999, 1),   # all-vacuum (pick = every block), heavy deferral
+    (2048, 0, 2, 2, 1),    # two-stage supernode chain under vacuum
+])
+def test_hako_vacuum_equivalence(grid_res, uniq, pack, vacp, vacr,
+                                 monkeypatch):
+    """The straggler-vacuum tail rung (VAC_PICK/VAC_RUN: pick many blocks,
+    act-first lane-pack, run the whole round on a small dense prefix) is a
+    pure reordering: deferred lanes keep their resume state untouched, so
+    results must be bit-identical to vacuum disabled -- including heavy
+    deferral (prefix smaller than the active set from round 0) and the
+    2048^3 snode chain."""
+    dps = 1.0 / grid_res
+    if grid_res > 256:
+        base = RNG.integers(0, grid_res // 8, size=(40, 3)).astype(np.uint32) * 8
+        off = RNG.integers(0, 24, size=(50, 40, 3)).astype(np.uint32)
+        c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
+        m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    else:
+        m = random_voxels(grid_res, 20000)
+    tree = make_tree(m, grid_res, dps)
+    n = 8192  # 4 ray blocks; CAP_DIV=1 makes cap=4 so the ladder is real
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro + RNG.normal(size=(n, 3)) * 0.2).astype(np.float32)
+    monkeypatch.setattr(hako_kernels, "CAP_DIV", 1)
+    monkeypatch.setattr(hako_kernels, "PACK_DIV", pack)
+    monkeypatch.setattr(hako_kernels, "UNIQ", uniq)
+    ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    monkeypatch.setattr(hako_kernels, "VAC_PICK", vacp)
+    monkeypatch.setattr(hako_kernels, "VAC_RUN", vacr)
+    got = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
 def test_hako_snode_capped_resume(monkeypatch):
     """Every snode-chain resume path must be exercised and change nothing:
     1 probe per kernel-A call and 1 coarse-cell visit per DDA call."""
