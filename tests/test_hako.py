@@ -352,6 +352,47 @@ def test_hako_capped_probes_and_iters_resume(monkeypatch):
         np.testing.assert_array_equal(r, g)
 
 
+def test_hako_jitted_ladder_matches_eager(monkeypatch):
+    """The jitted while_loop driver (_intersect_padded: block-cap ladder +
+    straggler-vacuum rung -- the actual TPU path) must match the eager
+    per-round driver bit-exactly. Off-jit calls use the eager driver, so
+    without this test the jitted rung sequencing is only compile-checked
+    (entry()); the interpret kernels carry optimization barriers so both
+    drivers compute identical floats (commit: jit-safe interpret driver)."""
+    grid_res = 64
+    dps = 1.0 / grid_res
+    m = random_voxels(grid_res, 2048)
+    tree = make_tree(m, grid_res, dps)
+    n = 8192  # 4 ray blocks: ladder [4] -> vacuum rung (pick 2, run 1)
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro + RNG.normal(size=(n, 3)) * 0.2).astype(np.float32)
+    monkeypatch.setattr(hako_kernels, "CAP_DIV", 1)
+    monkeypatch.setattr(hako_kernels, "VAC_PICK", 2)
+    monkeypatch.setattr(hako_kernels, "VAC_RUN", 1)
+    eager = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+
+    import jax
+
+    meta, (T, level_rows) = hako_kernels.hako_args(tree)
+    bricks, snodes, tabs, scal_i = meta
+
+    @jax.jit
+    def jitted(ro_, rd_):
+        # Tracer inputs off-TPU route to _intersect_padded(interpret=True):
+        # the jitted ladder driver with interpret-mode kernels
+        return hako_kernels.intersect_rays_hako(
+            bricks, snodes, tabs, scal_i, tree.lower, tree.upper, ro_, rd_,
+            T=T, level_rows=level_rows,
+            **hako_kernels.knobs_for_res(grid_res),
+        )
+
+    got = [np.asarray(v) for v in jitted(jnp.asarray(ro), jnp.asarray(rd))]
+    for r, g in zip(eager, got):
+        np.testing.assert_array_equal(r, g)
+
+
 def test_hako_single_top_level():
     # grid 64 = 16 * 4: T == 1, no VMEM level tables at all
     assert hako.top_levels_for(64) == 1
