@@ -255,13 +255,14 @@ def test_hako_two_brick_equivalence(pack, uniq, dda, monkeypatch):
         np.testing.assert_array_equal(r, g)
 
 
-@pytest.mark.parametrize("grid_res,uniq,pack,vacp,vacr", [
-    (256, 0, 1, 2, 1),     # full rungs then vacuum, 1-block prefix
-    (256, 64, 2, 2, 2),    # vacuum composed with dedup + packing rungs
-    (256, 0, 1, 999, 1),   # all-vacuum (pick = every block), heavy deferral
-    (2048, 0, 2, 2, 1),    # two-stage supernode chain under vacuum
+@pytest.mark.parametrize("grid_res,uniq,pack,vacp,vacr,twob", [
+    (256, 0, 1, 2, 1, 0),   # full rungs then vacuum, 1-block prefix
+    (256, 64, 2, 2, 2, 0),  # vacuum composed with dedup + packing rungs
+    (256, 0, 1, 999, 1, 0),  # all-vacuum (pick = every block), heavy deferral
+    (2048, 0, 2, 2, 1, 0),  # two-stage supernode chain under vacuum
+    (256, 0, 1, 2, 1, 1),   # vacuum composed with two-brick rounds
 ])
-def test_hako_vacuum_equivalence(grid_res, uniq, pack, vacp, vacr,
+def test_hako_vacuum_equivalence(grid_res, uniq, pack, vacp, vacr, twob,
                                  monkeypatch):
     """The straggler-vacuum tail rung (VAC_PICK/VAC_RUN: pick many blocks,
     act-first lane-pack, run the whole round on a small dense prefix) is a
@@ -286,6 +287,7 @@ def test_hako_vacuum_equivalence(grid_res, uniq, pack, vacp, vacr,
     monkeypatch.setattr(hako_kernels, "CAP_DIV", 1)
     monkeypatch.setattr(hako_kernels, "PACK_DIV", pack)
     monkeypatch.setattr(hako_kernels, "UNIQ", uniq)
+    monkeypatch.setattr(hako_kernels, "TWO_BRICK", twob)
     ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
     monkeypatch.setattr(hako_kernels, "VAC_PICK", vacp)
     monkeypatch.setattr(hako_kernels, "VAC_RUN", vacr)
