@@ -275,9 +275,11 @@ def _scan64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
     better than the walk's serial slot chain)."""
     from .bricktree import _CX, _CY, _CZ
 
-    tbx = [t1x - dcx * (4 - k) for k in range(5)]
-    tby = [t1y - dcy * (4 - k) for k in range(5)]
-    tbz = [t1z - dcz * (4 - k) for k in range(5)]
+    # _plane (not raw arithmetic) so stable mode pins the same floats the
+    # callers re-derive -- the strict resume/tie comparisons rely on it
+    tbx = [_plane(t1x, dcx, jnp.int32(k), stable) for k in range(5)]
+    tby = [_plane(t1y, dcy, jnp.int32(k), stable) for k in range(5)]
+    tbz = [_plane(t1z, dcz, jnp.int32(k), stable) for k in range(5)]
     tq0 = jnp.maximum(t_q, 0.0)
     best_en = jnp.full_like(t1x, MAX_FLOAT)
     best_ex = jnp.full_like(t1x, MAX_FLOAT)
@@ -1053,7 +1055,10 @@ def _make_round(
     def gather_rows(table_pair, emit, child):
         tab_a, tab_m = table_pair
         ids = jnp.where(emit != 0, child, 0).reshape(-1)
-        if TRACE_GATHER is not None and interpret:
+        if (TRACE_GATHER is not None and interpret
+                and not isinstance(ids, jax.core.Tracer)):
+            # eager interpret runs only: under the jit-safe interpret
+            # driver (outer jit off-TPU) these are tracers, not values
             TRACE_GATHER.append(
                 (np.asarray(ids), np.asarray(emit.reshape(-1) != 0))
             )
@@ -1187,8 +1192,14 @@ def _make_round(
         t_f = pick(t_out)
         nm_f = pick(nmaj_out)
         vi_f = pick(vidx_out)
-        act_f = (res_f == 0).astype(I32)
-        if TRACE_ACT is not None and interpret:
+        # fill slots (sel == nb) clip-load block nb-1; without this mask
+        # its still-active lanes would run kernels + row gathers AGAIN in
+        # every underfull tail round (and consume pack/vacuum prefix
+        # slots), with the duplicate results dropped by put(mode="drop")
+        real = jnp.repeat((sel < nb).astype(I32), S_BLK)[:, None]
+        act_f = (res_f == 0).astype(I32) * real
+        if (TRACE_ACT is not None and interpret
+                and not isinstance(sel, jax.core.Tracer)):
             TRACE_ACT.append(
                 (int(np.sum(np.asarray(sel) < nb)), np.asarray(act_f))
             )
@@ -1400,30 +1411,12 @@ def _init_state(nb):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
-        "pack_div", "uniq", "max_probes", "max_dda", "two_brick",
-        "vac_pick", "vac_run", "interpret",
-    ),
-)
-def _intersect_padded(
-    bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
-    T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
-    cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
-    max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
-    vac_pick: int = 0, vac_run: int = 2, interpret: bool = False,
-):
-    """TPU path: jitted while_loop of block-compacted rounds.
-
-    The tuning knobs (cap_blocks/pack_div/uniq/max_probes/max_dda) are
-    STATIC ARGS so the jit cache keys on them -- module-attr reads inside
-    the trace would silently go stale across calls (the reason sweeps used
-    to need one process per combo)."""
-    R = ro.shape[0]
-    nb = R // RB
-    cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
+def _driver_setup(ro, rd, lower, upper, cap, max_rounds, uniq,
+                  vac_pick, vac_run, nb):
+    """Shared preamble of the jitted and eager drivers (round budget,
+    blocked ray state, scene floats, vacuum clamps) -- ONE copy, so the
+    two drivers cannot drift (they must stay bit-identical,
+    tests/test_hako.py::test_hako_jitted_ladder_matches_eager)."""
     if max_rounds is None:
         # every block needs ~(brick visits per lane) picks; narrow caps
         # (the 2048^3 optimum is nb/64) need proportionally more rounds --
@@ -1446,6 +1439,41 @@ def _intersect_padded(
         [lower.astype(jnp.float32), upper.astype(jnp.float32),
          jnp.zeros(2, jnp.float32)]
     ).reshape(1, 8)
+    vacp = min(vac_pick, nb) if vac_pick else 0
+    vacr = max(min(vac_run, vacp), 1) if vacp else 0
+    return max_rounds, rays_b, sf, vacp, vacr
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
+        "pack_div", "uniq", "max_probes", "max_dda", "two_brick",
+        "vac_pick", "vac_run", "interpret",
+    ),
+)
+def _intersect_padded(
+    bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
+    T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
+    cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
+    max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
+    vac_pick: int = 0, vac_run: int = 2, interpret: bool = False,
+):
+    """TPU path: jitted while_loop of block-compacted rounds.
+
+    The tuning knobs (cap_blocks/pack_div/uniq/max_probes/max_dda) are
+    STATIC ARGS so the jit cache keys on them -- module-attr reads inside
+    the trace would silently go stale across calls (the reason sweeps used
+    to need one process per combo). cap_blocks is REQUIRED for the same
+    reason: a CAP_DIV module-attr fallback here would be read once at
+    trace time and silently reused from the jit cache."""
+    assert cap_blocks, "resolve cap_blocks in the caller (intersect_rays_hako)"
+    R = ro.shape[0]
+    nb = R // RB
+    cap = cap_blocks
+    max_rounds, rays_b, sf, vacp, vacr = _driver_setup(
+        ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb
+    )
 
     # block-cap ladder: full-cap rounds while many blocks are active, then
     # progressively narrower rounds for the straggler tail (a round at cap
@@ -1466,8 +1494,6 @@ def _intersect_padded(
     # _make_round's run_cap and the VAC_PICK knob comment). Forces
     # pack_div=1/uniq=0: the packed prefix is already dense and its row
     # gather is vac_run*RB rows at most.
-    vacp = min(vac_pick, nb) if vac_pick else 0
-    vacr = max(min(vac_run, vacp), 1) if vacp else 0
     rungs = [(c, None) for c in ladder if c > vacp]
     if vacp:
         rungs.append((vacp, vacr))
@@ -1516,29 +1542,17 @@ def _intersect_padded_eager(
     cannot arise)."""
     R = ro.shape[0]
     nb = R // RB
+    # eager runs per call, so a module-attr fallback here is always fresh
     cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
-    if max_rounds is None:
-        max_rounds = 64 * max(nb // cap, 1) + 256
-        if uniq:
-            max_rounds *= max(RB // uniq, 1)
-        if vac_pick:
-            max_rounds += 64 * max(vac_pick // max(vac_run, 1), 1) + 256
-    rays_b = [
-        x.reshape(nb, RB)
-        for x in (ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2])
-    ]
-    sf = jnp.concatenate(
-        [lower.astype(jnp.float32), upper.astype(jnp.float32),
-         jnp.zeros(2, jnp.float32)]
-    ).reshape(1, 8)
+    max_rounds, rays_b, sf, vacp, vacr = _driver_setup(
+        ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb
+    )
     body = _make_round(
         bricks, snodes, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
         interpret=True, pack_div=pack_div, uniq=uniq,
         max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
     )
-    vacp = min(vac_pick, nb) if vac_pick else 0
-    vacr = max(min(vac_run, vacp), 1) if vacp else 0
     vac_body = None
     if vacp:
         vac_body = _make_round(

@@ -100,6 +100,9 @@ def build_hako_stream(
         assert len(col_parts) in (0, len(rows_parts) + 1), (
             "all chunks must carry attributes, or none"
         )
+        assert len(emi_parts) in (0, len(rows_parts) + 1), (
+            "all chunks must carry emission, or none"
+        )
         m_hi = jnp.asarray(m_hi)
         m_lo = jnp.asarray(m_lo)
         nb_c = int(_chunk_brick_count(m_hi, m_lo, jnp.int32(n_c)))
