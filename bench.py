@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from massivevoxelraytracing_tpu.utils import runtime
 
+# if the TPU tunnel is down at bench time, record an honest CPU number
+# (clearly labeled below) instead of crashing with no JSON line at all
+os.environ.setdefault("MVRT_CPU_FALLBACK", "1")
 runtime.setup()
 
 import jax  # noqa: E402
@@ -40,10 +43,12 @@ from massivevoxelraytracing_tpu.utils import meshgen  # noqa: E402
 
 
 def main():
-    grid_res = int(os.environ.get("MVRT_BENCH_RES", 1024))
-    width = int(os.environ.get("MVRT_BENCH_W", 1920))
-    height = int(os.environ.get("MVRT_BENCH_H", 1080))
-    iters = int(os.environ.get("MVRT_BENCH_ITERS", 4))
+    on_cpu = jax.default_backend() == "cpu"
+    # CPU fallback must still finish: shrink to the smoke-test shape
+    grid_res = int(os.environ.get("MVRT_BENCH_RES", 256 if on_cpu else 1024))
+    width = int(os.environ.get("MVRT_BENCH_W", 640 if on_cpu else 1920))
+    height = int(os.environ.get("MVRT_BENCH_H", 360 if on_cpu else 1080))
+    iters = int(os.environ.get("MVRT_BENCH_ITERS", 1 if on_cpu else 4))
 
     accel = os.environ.get("MVRT_BENCH_ACCEL")
     if accel is None:
@@ -106,7 +111,8 @@ def main():
                     if scene_kind == "lattice" else
                     f"primary Mrays/s @{grid_res}^3 procedural "
                     f"dragon-standin, {width}x{height}"
-                ),
+                ) + (" [CPU FALLBACK - TPU tunnel down, not chip perf]"
+                     if on_cpu else ""),
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 1000.0, 4),

@@ -21,11 +21,13 @@ from ..ops.bricktree import BrickTree
 from ..ops.hako import HakoTree
 
 
-def accel_args(tree):
+def accel_args(tree, profile: str = "primary"):
     """(static_kind, static_depth, meta, root) for the jitted render paths.
 
     For the hako structure, `meta` is a pytree (bricks, tabs, scal_i) and
-    `depth` the static (T, level_rows) pair."""
+    `depth` the static (T, level_rows) pair. `profile` picks the tuned-knob
+    overlay ("primary" for coherent camera tiles, "pt" for the path
+    tracer's wavefronts -- see hako_kernels.TUNED_PT_BY_RES)."""
     if isinstance(tree, HakoTree):
         meta, (T, level_rows) = hako_kernels.hako_args(tree)
         # the RESOLVED per-resolution knobs ride the static tuple, so every
@@ -33,7 +35,7 @@ def accel_args(tree):
         # its cache on them -- resolving inside the trace would silently
         # reuse stale-knob executables after a module-attr change
         knobs = tuple(sorted(
-            hako_kernels.knobs_for_res(int(tree.grid_res)).items()
+            hako_kernels.knobs_for_res(int(tree.grid_res), profile).items()
         ))
         return "hako", (T, level_rows, knobs), meta, jnp.uint32(0)
     if isinstance(tree, BrickTree):

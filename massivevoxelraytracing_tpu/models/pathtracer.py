@@ -362,7 +362,9 @@ class PathTracer:
         if env is None:
             # disabled env: zero-radiance 1x1 (isEnabled() == false path)
             env = hdri_ops.load(np.zeros((1, 1, 3), np.float32), scale=0.0)
-        kind, depth, acc_meta, acc_root = accel_lib.accel_args(tree)
+        kind, depth, acc_meta, acc_root = accel_lib.accel_args(
+            tree, profile="pt"
+        )
 
         n = self.width * self.height
         # pixel sub-packet: the spp batch multiplies the wavefront width;

@@ -149,23 +149,39 @@ TUNED_BY_RES = {
 }
 # TUNED_BY_RES_END
 
+# PT-profile overlay: the path tracer's wavefronts (NEE + implicit + BSDF
+# concatenated, incoherent after bounce 1, straggler-heavy tails) can have
+# a different knob optimum than coherent primary tiles -- e.g. UNIQ relies
+# on intra-block brick duplication that secondary bounces partly destroy,
+# while VAC_PICK bites hardest there (scripts/act_stats.py). Entries here
+# override TUNED_BY_RES for knobs_for_res(profile="pt"); explicit module
+# -attr overrides (sweeps, env) still win over both tables.
+# TUNED_PT_BY_RES_BEGIN (values from the PT stages of sweep_r2.log)
+TUNED_PT_BY_RES = {}
+# TUNED_PT_BY_RES_END
+
 _KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
                     TWO_BRICK="two_brick", MAX_PROBES="max_probes",
                     MAX_DDA_ITERS="max_dda", VAC_PICK="vac_pick",
                     VAC_RUN="vac_run")
 
 
-def knobs_for_res(grid_res: int) -> dict:
-    """Resolved intersect_rays_hako knob kwargs for a grid resolution."""
+def _nearest_log(table, grid_res):
     import math
 
+    key = min(
+        table, key=lambda k: abs(math.log(k) - math.log(max(grid_res, 1)))
+    )
+    return table[key]
+
+
+def knobs_for_res(grid_res: int, profile: str = "primary") -> dict:
+    """Resolved intersect_rays_hako knob kwargs for a grid resolution."""
     tuned = {}
     if TUNED_BY_RES:
-        key = min(
-            TUNED_BY_RES,
-            key=lambda k: abs(math.log(k) - math.log(max(grid_res, 1))),
-        )
-        tuned = TUNED_BY_RES[key]
+        tuned = dict(_nearest_log(TUNED_BY_RES, grid_res))
+    if profile == "pt" and TUNED_PT_BY_RES:
+        tuned.update(_nearest_log(TUNED_PT_BY_RES, grid_res))
     out = {}
     g = globals()
     for knob, arg in _KNOB_TO_ARG.items():
@@ -1677,8 +1693,8 @@ def intersect_hako(tree: HakoTree, ro, rd, shadow: bool = False):
     bricks, snodes, tabs, scal_i = meta
     return intersect_rays_hako(
         bricks, snodes, tabs, scal_i, tree.lower, tree.upper,
-        jnp.asarray(np.asarray(ro, np.float32)),
-        jnp.asarray(np.asarray(rd, np.float32)),
+        jnp.asarray(ro, jnp.float32),
+        jnp.asarray(rd, jnp.float32),
         T=T, level_rows=level_rows, shadow=shadow,
         **knobs_for_res(int(tree.grid_res)),
     )

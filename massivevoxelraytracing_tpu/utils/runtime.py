@@ -32,6 +32,29 @@ def setup(cache_dir: str | None = None) -> None:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    elif os.environ.get("MVRT_CPU_FALLBACK"):
+        # opt-in (bench.py): if the pinned TPU backend cannot initialize
+        # (the tunnel goes down for hours at a time), fall back to host
+        # CPU instead of crashing -- callers must LABEL their output as a
+        # CPU run so a fallback measurement is never mistaken for chip
+        # perf. The probe MUST run in a subprocess with a timeout: a dead
+        # tunnel makes jax.devices() HANG indefinitely (it does not
+        # raise), and once in-process backend init has started it cannot
+        # be redirected to CPU.
+        import subprocess
+        import sys
+
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                capture_output=True, timeout=90,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            sys.stderr.write("[runtime] TPU probe failed (tunnel down?); "
+                             "falling back to CPU\n")
+            jax.config.update("jax_platforms", "cpu")
 
     cache = cache_dir or os.environ.get("MVRT_JAX_CACHE", _DEFAULT_CACHE)
     os.makedirs(cache, exist_ok=True)

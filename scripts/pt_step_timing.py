@@ -72,8 +72,21 @@ def main():
     jax.block_until_ready(pt.accum)
     dt = (time.time() - t0) / iters
     mean_rad = float(jnp.mean(pt.accum[:, :3]))
+    # resolved knobs echoed in arg=value form so pick_knobs --apply-pt can
+    # parse the winner (env overrides land here because they move the
+    # module attrs off factory). mean at full precision: combos must agree
+    # bit-exactly -- a drifting mean is a correctness bug, not tuning.
+    # FULL effective set (factory defaults filled in): the PT table is an
+    # overlay on TUNED_BY_RES, so a partial winner dict would inherit base
+    # -table knobs the measurement never ran with
+    knobs = {
+        arg: hk._FACTORY[k] for k, arg in hk._KNOB_TO_ARG.items()
+    }
+    knobs.update(hk.knobs_for_res(grid_res, profile="pt"))
+    kstr = " ".join(f"{k}={v}" for k, v in sorted(knobs.items()))
     print(f"[pt] accel={accel} res={grid_res} {width}x{height} 16spp: "
-          f"{dt:.2f} s/step (first {t_compile:.1f}s) mean={mean_rad:.4f}",
+          f"{dt:.3f} s/step (first {t_compile:.1f}s) mean={mean_rad:.9e} "
+          f"knobs[{kstr}]",
           flush=True)
 
 

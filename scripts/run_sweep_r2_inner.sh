@@ -50,6 +50,10 @@ stage "PT UNIQ=64 TWOB=1" 3000 env UNIQ=64 TWOB=1 python scripts/pt_step_timing.
 # hardest here (act_stats: tail rounds run at 1-36% lane density)
 stage "PT VAC" 3000 env VACP=64 python scripts/pt_step_timing.py
 stage "PT VAC UNIQ=64" 3000 env VACP=64 UNIQ=64 python scripts/pt_step_timing.py
+# 2b) apply the fastest PT stage into the TUNED_PT_BY_RES overlay (the
+#     PathTracer resolves knobs with profile="pt"), so the rtcamp stage
+#     and any round-end PT run ride the measured PT optimum
+python scripts/pick_knobs.py "$LOG" --apply-pt >> "$LOG" 2>&1
 # 3) warm per-frame rebuild at reference scale (VERDICT item #4's
 #    "Done =" metric): 7M-tri lattice at 2048^3, build 3x in one
 #    process, per-phase split from scene.build_stats
@@ -82,5 +86,5 @@ batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24
 stage "SCALE 16384" 7200 env RES=16384 CUBE=1024 TARGET=654e6 \
   OUT=out/scale_shell_16k.png python scripts/scale_shell.py
 # 8b) final apply with every batch folded in
-python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
+python scripts/pick_knobs.py "$LOG" --apply --apply-pt >> "$LOG" 2>&1
 echo "SWEEP DONE $(date)" >> "$LOG"

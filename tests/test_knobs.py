@@ -1,98 +1,92 @@
-"""Tuned-knob resolution semantics (ops/hako_kernels.knobs_for_res) and
-the sweep's self-apply rewrite (scripts/pick_knobs.apply_winners).
+"""Tuned-knob resolution: per-resolution table, PT-profile overlay, and
+the sweep-log applier that rewrites both tables in place.
 
-These paths run unattended (the sweep rewrites TUNED_BY_RES mid-run and
-every later stage + the round-end bench resolve through it), so their
-semantics are pinned here:
-  * nearest-in-log-space resolution lookup,
-  * explicit module-attr overrides beat the table,
-  * factory defaults resolve to {} (kernel defaults),
-  * --apply merges winners without clobbering other resolutions.
-"""
+The reference tunes its launch geometry with compile-time macros
+(IntersectorOctreeGPU.hpp:13-19, renderCommon.hpp:13-15); our equivalent
+is the TUNED_BY_RES / TUNED_PT_BY_RES tables resolved into STATIC jit
+args by knobs_for_res (ops/hako_kernels.py) -- the path tracer's
+wavefronts get their own overlay because their optimum can differ from
+coherent primary tiles."""
 
-import importlib.util
 import os
+import shutil
 import sys
 
 import pytest
 
 from massivevoxelraytracing_tpu.ops import hako_kernels as hk
 
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+import pick_knobs as pk  # noqa: E402
+
 
 @pytest.fixture
-def knob_state():
-    saved = {k: getattr(hk, k) for k in hk._FACTORY}
-    saved_table = hk.TUNED_BY_RES
-    yield
-    for k, v in saved.items():
-        setattr(hk, k, v)
-    hk.TUNED_BY_RES = saved_table
+def knob_tables(monkeypatch):
+    monkeypatch.setattr(hk, "TUNED_BY_RES", {
+        256: {},
+        1024: dict(UNIQ=64),
+        2048: dict(CAP_DIV=64),
+    })
+    monkeypatch.setattr(hk, "TUNED_PT_BY_RES", {
+        1024: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=0, TWO_BRICK=0, MAX_PROBES=4,
+                   MAX_DDA_ITERS=24, VAC_PICK=64, VAC_RUN=2),
+    })
 
 
-def test_knobs_factory_default_is_empty(knob_state):
-    hk.TUNED_BY_RES = {}
-    for k, v in hk._FACTORY.items():
-        setattr(hk, k, v)
-    assert hk.knobs_for_res(1024) == {}
+def test_profile_overlay(knob_tables):
+    # primary profile reads the base table only
+    assert hk.knobs_for_res(1024) == dict(uniq=64)
+    # pt profile: the overlay pins EVERY knob, so the base table's UNIQ=64
+    # cannot leak into a config the PT sweep never measured
+    pt = hk.knobs_for_res(1024, profile="pt")
+    assert pt["uniq"] == 0 and pt["vac_pick"] == 64 and pt["pack_div"] == 1
+    # resolutions without a PT entry fall back to nearest-in-log overlay
+    assert hk.knobs_for_res(640, profile="pt")["vac_pick"] == 64
+    # base entries without overlay knobs stay pure base
+    assert hk.knobs_for_res(2048) == dict(cap_div=64)
 
 
-def test_knobs_nearest_log_lookup(knob_state):
-    for k, v in hk._FACTORY.items():
-        setattr(hk, k, v)
-    hk.TUNED_BY_RES = {256: dict(CAP_DIV=16), 2048: dict(CAP_DIV=64)}
-    assert hk.knobs_for_res(256) == dict(cap_div=16)
-    assert hk.knobs_for_res(300) == dict(cap_div=16)    # log-nearest 256
-    assert hk.knobs_for_res(1500) == dict(cap_div=64)   # log-nearest 2048
-    assert hk.knobs_for_res(16384) == dict(cap_div=64)  # clamps to largest
+def test_explicit_module_attr_beats_tables(knob_tables, monkeypatch):
+    monkeypatch.setattr(hk, "UNIQ", 128)  # off-factory = explicit override
+    assert hk.knobs_for_res(1024)["uniq"] == 128
+    assert hk.knobs_for_res(1024, profile="pt")["uniq"] == 128
 
 
-def test_knobs_explicit_override_beats_table(knob_state):
-    for k, v in hk._FACTORY.items():
-        setattr(hk, k, v)
-    hk.TUNED_BY_RES = {256: dict(CAP_DIV=16, UNIQ=64)}
-    hk.CAP_DIV = 32  # e.g. an env patch in a sweep process
-    out = hk.knobs_for_res(256)
-    assert out["cap_div"] == 32        # module attr wins
-    assert out["uniq"] == 64           # untouched knob still tuned
-
-
-def _load_pick_knobs():
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "scripts", "pick_knobs.py",
-    )
-    spec = importlib.util.spec_from_file_location("pick_knobs", path)
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["pick_knobs"] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def test_pick_knobs_apply_merges(tmp_path, monkeypatch):
-    pk = _load_pick_knobs()
-    target = tmp_path / "kernels_stub.py"
-    target.write_text(
-        "# TUNED_BY_RES_BEGIN (rewritten)\n"
-        "TUNED_BY_RES = {\n"
-        "    256: {},  # comment survives eval\n"
-        "    2048: dict(CAP_DIV=64),\n"
-        "}\n"
-        "# TUNED_BY_RES_END\n"
-    )
+def test_apply_pt_rewrites_table(tmp_path, monkeypatch, capsys):
+    target = tmp_path / "hako_kernels.py"
+    shutil.copy(hk.__file__.replace(".pyc", ".py"), target)
     monkeypatch.setattr(pk, "KERNELS_PY", str(target))
-    best = dict(capd=8, packd=1, uniq=64, twob=1, p=4, d=24)
-    pk.apply_winners({256: (best, 25.0)})
+    log = tmp_path / "sweep.log"
+    base = ("[pt] accel=hako res=256 640x360 16spp: {dt} s/step "
+            "(first 90.0s) mean=2.041399956e-01 knobs[cap_div=8 max_dda=24 "
+            "max_probes=4 pack_div=2 two_brick=0 uniq={u} vac_pick=64 "
+            "vac_run=2]")
+    log.write_text(base.format(dt="4.560", u=64) + "\n"
+                   + base.format(dt="2.980", u=0) + "\n")
+    pk.apply_pt_winners(str(log))
     src = target.read_text()
-    ns = {}
-    exec(src[src.index("TUNED_BY_RES ="):src.index("# TUNED_BY_RES_END")], ns)
-    table = ns["TUNED_BY_RES"]
-    assert table[256] == dict(CAP_DIV=8, PACK_DIV=1, UNIQ=64, TWO_BRICK=1,
-                              MAX_PROBES=4, MAX_DDA_ITERS=24)
-    assert table[2048] == dict(CAP_DIV=64)  # untouched resolution survives
-    # the rewritten block must itself be re-appliable (markers intact)
-    pk.apply_winners({2048: (dict(best, capd=32), 9.0)})
-    src = target.read_text()
-    ns = {}
-    exec(src[src.index("TUNED_BY_RES ="):src.index("# TUNED_BY_RES_END")], ns)
-    assert ns["TUNED_BY_RES"][2048]["CAP_DIV"] == 32
-    assert ns["TUNED_BY_RES"][256]["UNIQ"] == 64
+    block = src[src.index(pk.PT_BEGIN):src.index(pk.PT_END)]
+    assert "256: dict(" in block and "UNIQ=0" in block
+    assert "2.980 s/step" in block
+    # the written block must stay importable / eval-able
+    table = eval(block.split("=", 1)[1], {"dict": dict})
+    assert table[256]["VAC_PICK"] == 64 and table[256]["UNIQ"] == 0
+    # all 8 knobs pinned (full-dict overlay contract)
+    assert len(table[256]) == 8
+
+
+def test_apply_pt_skips_on_mean_drift(tmp_path, monkeypatch):
+    target = tmp_path / "hako_kernels.py"
+    shutil.copy(hk.__file__.replace(".pyc", ".py"), target)
+    monkeypatch.setattr(pk, "KERNELS_PY", str(target))
+    before = target.read_text()
+    log = tmp_path / "sweep.log"
+    base = ("[pt] accel=hako res=256 640x360 16spp: {dt} s/step "
+            "(first 90.0s) mean={m} knobs[cap_div=8 max_dda=24 max_probes=4 "
+            "pack_div=2 two_brick=0 uniq={u} vac_pick=0 vac_run=2]")
+    log.write_text(base.format(dt="4.560", m="2.0e-01", u=64) + "\n"
+                   + base.format(dt="2.980", m="2.1e-01", u=0) + "\n")
+    pk.apply_pt_winners(str(log))
+    assert target.read_text() == before  # drift -> nothing written
