@@ -157,7 +157,9 @@ TUNED_BY_RES = {
 # override TUNED_BY_RES for knobs_for_res(profile="pt"); explicit module
 # -attr overrides (sweeps, env) still win over both tables.
 # TUNED_PT_BY_RES_BEGIN (values from the PT stages of sweep_r2.log)
-TUNED_PT_BY_RES = {}
+TUNED_PT_BY_RES = {
+    256: dict(CAP_DIV=8, MAX_DDA_ITERS=24, MAX_PROBES=4, PACK_DIV=2, TWO_BRICK=0, UNIQ=0, VAC_PICK=64, VAC_RUN=2),  # 0.998 s/step (sweep-applied)
+}
 # TUNED_PT_BY_RES_END
 
 _KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
