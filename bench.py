@@ -67,10 +67,24 @@ def main():
         origin, dps = meshgen.fit_grid(tri, grid_res)
         chunk = 65536
     t0 = time.time()
-    tree = scene.build_scene(
-        tri, cols, origin=origin, dps=dps, grid_res=grid_res, accel=accel,
-        chunk_tris=chunk,
-    )
+    if (scene_kind == "lattice" and accel == "hako"
+            and os.environ.get("MVRT_BENCH_CACHE", "1") != "0"):
+        # shared build-once tree cache (utils/treecache): the knob sweeps
+        # measure on the very same cached tree, so winners transfer exactly,
+        # and the round-end bench doesn't re-pay a ~10 min 2048^3 build
+        from massivevoxelraytracing_tpu.utils import treecache
+
+        tree_src = (
+            "cache" if os.path.exists(treecache.cache_path(grid_res))
+            else "built+cached"
+        )
+        tree = treecache.lattice_tree(grid_res)
+    else:
+        tree_src = "built"
+        tree = scene.build_scene(
+            tri, cols, origin=origin, dps=dps, grid_res=grid_res, accel=accel,
+            chunk_tris=chunk,
+        )
     build_s = time.time() - t0
 
     lo = np.asarray(origin)
@@ -98,7 +112,8 @@ def main():
     hit_frac = float(jnp.mean((depth < 1e37).astype(jnp.float32)))
     sys.stderr.write(
         f"[bench] res={grid_res} accel={accel} voxels={tree.n_voxels} "
-        f"nodes={tree.n_nodes} build={build_s:.1f}s frame={dt*1e3:.1f}ms "
+        f"nodes={tree.n_nodes} tree={tree_src} ({build_s:.1f}s) "
+        f"frame={dt*1e3:.1f}ms "
         f"hit={hit_frac:.2f}\n"
     )
     print(

@@ -30,53 +30,12 @@ from massivevoxelraytracing_tpu.utils import meshgen  # noqa: E402
 
 
 def tree_cache(grid_res):
-    """Build-once cache: a 2048^3 build costs ~10 min on the tunneled chip,
-    so sweeps store the finished HakoTree as an npz keyed by resolution.
+    """Build-once cache of the shared dragon-occupancy lattice tree
+    (utils/treecache -- the same cache bench.py loads, so swept knob
+    winners transfer to the headline measurement exactly)."""
+    from massivevoxelraytracing_tpu.utils import treecache
 
-    Scene: the shared dragon-occupancy sphere lattice (meshgen.sphere_lattice
-    -- the same scene bench.py measures, so swept knob winners transfer
-    exactly; the round-1 bumpy sphere had only ~4% of the dragon's
-    occupancy and was called out by the round-1 review)."""
-    from massivevoxelraytracing_tpu.ops import hako
-
-    path = f"/tmp/hako_tree_lat64_{grid_res}.npz"
-    if os.path.exists(path):
-        z = np.load(path, allow_pickle=False)
-        n_lv = int(z["n_lv"])
-        return hako.HakoTree(
-            bricks=jnp.asarray(z["bricks"]),
-            n_bricks=int(z["n_bricks"]),
-            levels=tuple(jnp.asarray(z[f"lv{i}"]) for i in range(n_lv)),
-            n_per_level=tuple(int(x) for x in z["n_per_level"]),
-            root_mask_lo=int(z["root_mask_lo"]),
-            root_mask_hi=int(z["root_mask_hi"]),
-            T=int(z["T"]), res=int(z["res"]), grid_res=int(z["grid_res"]),
-            lower=jnp.asarray(z["lower"]), upper=jnp.asarray(z["upper"]),
-            dps=float(z["dps"]),
-            snodes=(jnp.asarray(z["snodes"]) if "snodes" in z else None),
-            n_snodes=int(z["n_snodes"]),
-        )
-    tri, cols = meshgen.sphere_lattice(6, 4)
-    origin = np.zeros(3, np.float32)
-    dps = 1.0 / grid_res
-    tree = scene.build_scene(
-        tri, cols, origin=origin, dps=dps, grid_res=grid_res, accel="hako",
-        chunk_tris=262144)
-    arrs = dict(
-        bricks=np.asarray(tree.bricks), n_bricks=tree.n_bricks,
-        n_lv=len(tree.levels),
-        n_per_level=np.asarray(tree.n_per_level, np.int64),
-        root_mask_lo=tree.root_mask_lo, root_mask_hi=tree.root_mask_hi,
-        T=tree.T, res=tree.res, grid_res=tree.grid_res,
-        lower=np.asarray(tree.lower), upper=np.asarray(tree.upper),
-        dps=tree.dps, n_snodes=tree.n_snodes,
-    )
-    for i, lv in enumerate(tree.levels):
-        arrs[f"lv{i}"] = np.asarray(lv)
-    if tree.snodes is not None:
-        arrs["snodes"] = np.asarray(tree.snodes)
-    np.savez(path, **arrs)
-    return tree
+    return treecache.lattice_tree(grid_res)
 
 
 def run_combo(tree, cam, grid_res, width, height):
