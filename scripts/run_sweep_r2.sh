@@ -2,7 +2,7 @@
 # Budget cap so a late tunnel window can't leave the sweep hogging the
 # single chip when the round driver wants it for bench.py (one TPU process
 # at a time -- two queue and both look hung):
-#  - relative cap: 4h from sweep start
+#  - relative cap: 6h from sweep start
 #  - absolute cap: /tmp/sweep_deadline (epoch seconds, written at session
 #    start = round end minus bench headroom); whichever is sooner wins.
 # The deadline is enforced INSIDE the inner script (each stage's timeout
@@ -10,7 +10,7 @@
 # would orphan the running python, which would keep holding the chip.
 LOG=${LOG:-/tmp/sweep_r2.log}
 NOW=$(date +%s)
-SWEEP_END=$((NOW + 14400))
+SWEEP_END=$((NOW + 21600))
 DEADLINE=$(cat /tmp/sweep_deadline 2>/dev/null || echo 0)
 if [ "$DEADLINE" -gt 0 ] && [ "$DEADLINE" -lt "$SWEEP_END" ]; then
   SWEEP_END=$DEADLINE

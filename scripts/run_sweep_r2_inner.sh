@@ -10,7 +10,7 @@
 # (per-row DMA gather pricing already measured 2026-08-17: 27 M rows/s,
 #  loses to XLA take's 51 M rows/s -- commit f91baf0)
 LOG=${LOG:-/tmp/sweep_r2.log}
-SWEEP_END=${SWEEP_END:-$(( $(date +%s) + 14400 ))}
+SWEEP_END=${SWEEP_END:-$(( $(date +%s) + 21600 ))}
 cd /root/repo
 clip() {  # clip STAGE_TIMEOUT -> min(stage timeout, remaining budget); "" if spent
   local rem=$(( SWEEP_END - $(date +%s) ))
