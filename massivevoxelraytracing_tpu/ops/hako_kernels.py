@@ -168,12 +168,21 @@ _KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
                     VAC_RUN="vac_run")
 
 
-def _nearest_log(table, grid_res):
+def _nearest_log(table, grid_res, max_ratio=None):
+    """Nearest-in-log-space entry; None if the nearest key is further
+    than max_ratio away (overlay entries are FULL knob dicts, so applying
+    one far from its measured resolution would clobber the base table's
+    per-scale knobs -- e.g. the 256^3 PT entry pins CAP_DIV=8, which is
+    ~2x slower than the measured CAP_DIV=64 at 2048^3)."""
     import math
 
     key = min(
         table, key=lambda k: abs(math.log(k) - math.log(max(grid_res, 1)))
     )
+    if max_ratio is not None:
+        ratio = max(key, grid_res) / max(min(key, grid_res), 1)
+        if ratio > max_ratio:
+            return None
     return table[key]
 
 
@@ -183,7 +192,9 @@ def knobs_for_res(grid_res: int, profile: str = "primary") -> dict:
     if TUNED_BY_RES:
         tuned = dict(_nearest_log(TUNED_BY_RES, grid_res))
     if profile == "pt" and TUNED_PT_BY_RES:
-        tuned.update(_nearest_log(TUNED_PT_BY_RES, grid_res))
+        pt = _nearest_log(TUNED_PT_BY_RES, grid_res, max_ratio=2.0)
+        if pt is not None:
+            tuned.update(pt)
     out = {}
     g = globals()
     for knob, arg in _KNOB_TO_ARG.items():

@@ -42,8 +42,12 @@ def test_profile_overlay(knob_tables):
     # cannot leak into a config the PT sweep never measured
     pt = hk.knobs_for_res(1024, profile="pt")
     assert pt["uniq"] == 0 and pt["vac_pick"] == 64 and pt["pack_div"] == 1
-    # resolutions without a PT entry fall back to nearest-in-log overlay
-    assert hk.knobs_for_res(640, profile="pt")["vac_pick"] == 64
+    # resolutions near a PT entry (within 2x) ride the overlay
+    assert hk.knobs_for_res(512, profile="pt")["vac_pick"] == 64
+    # far resolutions must NOT: the overlay's full dict would clobber the
+    # base table's per-scale knobs (e.g. cap_div=8 from the 1024 PT entry
+    # vs the measured cap_div=64 base optimum at 2048+)
+    assert hk.knobs_for_res(4096, profile="pt") == dict(cap_div=64)
     # base entries without overlay knobs stay pure base
     assert hk.knobs_for_res(2048) == dict(cap_div=64)
 
