@@ -50,6 +50,9 @@ stage "PT UNIQ=64 TWOB=1" 3000 env UNIQ=64 TWOB=1 python scripts/pt_step_timing.
 # hardest here (act_stats: tail rounds run at 1-36% lane density)
 stage "PT VAC" 3000 env VACP=64 python scripts/pt_step_timing.py
 stage "PT VAC UNIQ=64" 3000 env VACP=64 UNIQ=64 python scripts/pt_step_timing.py
+# PT scaling point for the docs (applied base knobs; 1024 has no PT
+# overlay entry, so this measures the base-table optimum on wavefronts)
+stage "PT RES=1024" 3600 env RES=1024 python scripts/pt_step_timing.py
 # 2b) apply the fastest PT stage into the TUNED_PT_BY_RES overlay (the
 #     PathTracer resolves knobs with profile="pt"), so the rtcamp stage
 #     and any round-end PT run ride the measured PT optimum
@@ -77,9 +80,13 @@ stage "RTCAMP" 3600 python -m massivevoxelraytracing_tpu.apps.rtcamp \
   --frame-range 0 4 --frames 24 --width 640 --height 360 --steps 2 \
   --out out/anim_r2
 # 7) interactions: packing x dedup, wider caps, P/D resweep at the dedup
-#    point (the gather collapse moves the P/D optimum), vacuum width/entry
-batch 256  "8:2:64:0,4:1:64:0,8:2:64:1,8:2:0:0,8:1:0:0:4:24:64:1,8:1:0:0:4:24:128:2,8:1:0:0:4:24:32:2" 5400
-batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24,8:2:0:0,8:4:0:0,8:1:0:0:4:24:64:1,8:1:0:0:4:24:128:2" 7200
+#    point (the gather collapse moves the P/D optimum), vacuum width/entry,
+#    and ALL-VACUUM rounds (VAC_PICK >= nb clamps to nb, so every round is
+#    an act-first lane-packed round over vac_run dense blocks -- act_stats
+#    measured 70/83 rounds below 36% lane density, so densifying the whole
+#    run may beat block-granular rounds despite the per-round pack sort)
+batch 256  "8:2:64:0,4:1:64:0,8:2:64:1,8:2:0:0,8:1:0:0:4:24:64:1,8:1:0:0:4:24:128:2,8:1:0:0:4:24:32:2,8:1:0:0:4:24:65536:16,8:1:0:0:4:24:65536:32" 5400
+batch 1024 "8:2:64:0,4:1:64:0,8:2:64:1,8:1:64:0:8:24,8:1:64:0:4:48,8:1:64:1:8:24,8:2:0:0,8:4:0:0,8:1:0:0:4:24:64:1,8:1:0:0:4:24:128:2,8:1:0:0:4:24:65536:32" 7200
 # 8) the 16k^3 / ~654M-voxel stretch headline (renderer_introduction.pdf
 #    p.8) -- last: it can eat 2h and everything above it is a hard
 #    round-2 criterion
