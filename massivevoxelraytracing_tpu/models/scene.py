@@ -60,6 +60,54 @@ def _make_unique_input(m_hi, m_lo, color, emission):
     )
 
 
+def build_accel_from_unique(uniq, *, origin, dps, grid_res, accel, dag=True):
+    """Unique-voxel stream -> traversal structure (the tail of the build:
+    IntersectorOctreeGPU.hpp:163-239). Shared by the single-device and
+    sharded (parallel/build.py) front halves."""
+    n_unique = int(uniq["n_unique"])
+    pad = octree_ops.bucket(n_unique)
+    lower = jnp.asarray(origin, jnp.float32)
+    if accel == "hako":
+        from ..ops import hako as hako_ops
+
+        return hako_ops.build_hako(
+            uniq["m_hi"][:pad],
+            uniq["m_lo"][:pad],
+            n_unique,
+            grid_res,
+            lower=np.asarray(lower),
+            dps=float(dps),
+            color=uniq["color"][:pad],
+            emission=uniq["emission"][:pad],
+            has_emission=bool(uniq["has_emission"]),
+        )
+    if accel == "brick":
+        return brick_ops.build_bricktree(
+            uniq["m_hi"][:pad],
+            uniq["m_lo"][:pad],
+            n_unique,
+            grid_res,
+            lower=lower,
+            dps=float(dps),
+            color=uniq["color"][:pad],
+            emission=uniq["emission"][:pad],
+            has_emission=bool(uniq["has_emission"]),
+        )
+    upper = lower + jnp.float32(dps) * grid_res
+    return octree_ops.build_octree(
+        uniq["m_hi"][:pad],
+        uniq["m_lo"][:pad],
+        n_unique,
+        grid_res,
+        dag=dag,
+        lower=lower,
+        upper=upper,
+        color=uniq["color"][:pad],
+        emission=uniq["emission"][:pad],
+        has_emission=bool(uniq["has_emission"]),
+    )
+
+
 def build_scene(
     tri_verts,
     tri_colors=None,
@@ -180,8 +228,6 @@ def build_scene(
         uniq = vox_ops.merge_unique_sums(cat[0], cat[1], cat[2:8], cat[8])
     n_unique = int(uniq["n_unique"])  # readback 2
     t_unique = time.time()
-    pad = octree_ops.bucket(n_unique)
-    lower = origin_j
     # observability counters the reference surfaces in its stats lines /
     # ImGui panels (dumped voxels, unique voxels, SURVEY.md section 5)
     stats = dict(
@@ -190,46 +236,10 @@ def build_scene(
         n_unique=n_unique,
         grid_res=grid_res,
     )
-    if accel == "hako":
-        from ..ops import hako as hako_ops
-
-        tree = hako_ops.build_hako(
-            uniq["m_hi"][:pad],
-            uniq["m_lo"][:pad],
-            n_unique,
-            grid_res,
-            lower=np.asarray(lower),
-            dps=float(dps),
-            color=uniq["color"][:pad],
-            emission=uniq["emission"][:pad],
-            has_emission=bool(uniq["has_emission"]),
-        )
-    elif accel == "brick":
-        tree = brick_ops.build_bricktree(
-            uniq["m_hi"][:pad],
-            uniq["m_lo"][:pad],
-            n_unique,
-            grid_res,
-            lower=lower,
-            dps=float(dps),
-            color=uniq["color"][:pad],
-            emission=uniq["emission"][:pad],
-            has_emission=bool(uniq["has_emission"]),
-        )
-    else:
-        upper = lower + jnp.float32(dps) * grid_res
-        tree = octree_ops.build_octree(
-            uniq["m_hi"][:pad],
-            uniq["m_lo"][:pad],
-            n_unique,
-            grid_res,
-            dag=dag,
-            lower=lower,
-            upper=upper,
-            color=uniq["color"][:pad],
-            emission=uniq["emission"][:pad],
-            has_emission=bool(uniq["has_emission"]),
-        )
+    tree = build_accel_from_unique(
+        uniq, origin=origin_j, dps=dps, grid_res=grid_res,
+        accel=accel, dag=dag,
+    )
     t_accel = time.time()
     stats["n_nodes"] = tree.n_nodes
     stats["accel_bytes"] = tree.memory_bytes()
