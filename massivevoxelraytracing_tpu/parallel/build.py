@@ -8,10 +8,30 @@ GROUP stage of the hierarchical unique (`sort_and_unique_sums` -- per-voxel
 channel SUMS + COUNT) entirely locally inside one `shard_map`, and the
 small per-device unique streams meet in the partition-invariant merge
 (`merge_unique_sums`: sum of sums / sum of counts with the same integer
-division). Attributes and the resulting tree are therefore BITWISE
-IDENTICAL to the single-device `models.scene.build_scene` -- the device
-axis is just another group partition of the hierarchical-unique path the
-single-chip build already uses at production scale.
+division -- the exact true-duplicate-mean machinery of the single-device
+hierarchical path).
+
+Guarantees (in decreasing strength):
+  * PARTITION INVARIANCE: the same scene built over 2 vs 8 devices gives
+    bitwise the same tree (tests/test_parallel_build.py) -- device count
+    only re-partitions the group axis of sums that commute exactly.
+  * vs the single-device build: the coverage PREDICATE here evaluates
+    inside one fused scan program, while `build_scene` evaluates it in a
+    standalone per-chunk executable. XLA fuses float mul/add chains
+    differently across those contexts (measured on XLA:CPU: ~5% of dumped
+    candidates flip at exact cell-boundary ties -- duplicates of cells
+    already covered, plus rarely a boundary cell itself). The voxel set
+    may therefore differ from the single-device build by a small band of
+    float-tie boundary cells; attribute semantics are identical. This is
+    the same class of drift the reference has between its CPU and GPU
+    voxelizers (shared VTContext source, different compilers/FMA).
+
+The emit pass is SELF-CONSISTENT against that drift: each device's write
+offsets are carried through the scan from its own in-trace valid counts
+(never from the separately-compiled sizing pass), so a context flip can
+shift a boundary candidate but can never corrupt or lose buffer rows.
+The sizing pass only sizes; a safety re-run with a doubled buffer covers
+the (never observed) case where drift crosses a pow2 bucket boundary.
 
 Collective cost: one all_gather of the compacted per-device unique streams
 (a few bytes per unique voxel) rides ICI; the dumped-voxel stream -- the
@@ -126,18 +146,14 @@ def build_scene_sharded(
     # (one static bucket keeps the jit cache warm across frames)
     dev_counts = counts.reshape(dp, L)
     dev_tot = dev_counts.sum(axis=1)
-    buf = octree_ops.bucket(int(dev_tot.max()) + cand_per_chunk)
-    loc_off = np.zeros((dp, L), np.int32)
-    loc_off[:, 1:] = np.cumsum(dev_counts[:, :-1], axis=1)
-    off_s = jax.device_put(loc_off.reshape(n_chunks), shard)
 
     # pass 2 (voxelize + group unique), entirely device-local: emit each
-    # chunk's sort-compacted candidates at its local offset (scan carries
-    # the device buffer), then reduce the local stream to per-voxel channel
+    # chunk's sort-compacted candidates at a RUNNING offset carried through
+    # the scan (self-consistent with this pass's own valid counts -- see
+    # module docstring), then reduce the local stream to per-voxel channel
     # sums. No cross-device traffic until the tiny unique streams merge.
-    @jax.jit
-    def emit_unique_pass(tv, tc, te, off):
-        def fn(tv, tc, te, off):
+    def emit_unique_pass(tv, tc, te, buf: int):
+        def fn(tv, tc, te):
             bufs = tuple(
                 jnp.full((buf,), jnp.uint32(INVALID)) for _ in range(2)
             ) + tuple(jnp.zeros((buf,), U32) for _ in range(2))
@@ -146,25 +162,47 @@ def build_scene_sharded(
             bufs = tuple(
                 jax.lax.pcast(b, ("dp",), to="varying") for b in bufs
             )
+            off0 = jax.lax.pcast(jnp.int32(0), ("dp",), to="varying")
 
-            def body(bufs, args):
-                tv_k, tc_k, te_k, off_k = args
-                cands = vox(tv_k, tc_k, te_k)
-                return scene_mod._chunk_emit(bufs, cands, off_k), None
+            def body(carry, args):
+                bufs, off = carry
+                cands = vox(*args)
+                n_valid = vox_ops.count_voxels(cands)
+                # clamp so a (drifted) overflow can only overwrite the
+                # buffer tail in place, never scatter out of bounds; the
+                # host checks off_end and re-runs bigger if it ever trips
+                off_c = jnp.minimum(off, jnp.int32(buf - cand_per_chunk))
+                return (
+                    scene_mod._chunk_emit(bufs, cands, off_c),
+                    off + n_valid,
+                ), None
 
-            bufs, _ = jax.lax.scan(body, bufs, (tv, tc, te, off))
+            (bufs, off_end), _ = jax.lax.scan(
+                body, (bufs, off0), (tv, tc, te)
+            )
             m_hi, m_lo, colors, emissions = bufs
             out, n_u = vox_ops.sort_and_unique_sums(
                 m_hi, m_lo, colors, emissions,
                 m_hi != jnp.uint32(INVALID),
             )
-            return tuple(x[None] for x in out) + (n_u[None],)
+            return tuple(x[None] for x in out) + (n_u[None], off_end[None])
 
-        return jax.shard_map(
-            fn, mesh=mesh, in_specs=(P("dp"),) * 4, out_specs=P("dp")
-        )(tv, tc, te, off)
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=(P("dp"),) * 3, out_specs=P("dp")
+            )
+        )(tv, tc, te)
 
-    *streams, n_us = emit_unique_pass(tri_s, col_s, emi_s, off_s)
+    buf = octree_ops.bucket(int(dev_tot.max()) + cand_per_chunk)
+    for _attempt in range(4):
+        *streams, n_us, off_end = emit_unique_pass(tri_s, col_s, emi_s, buf)
+        off_end = np.asarray(off_end)
+        if int(off_end.max()) <= buf - cand_per_chunk:
+            break
+        buf *= 2  # sizing-pass drift crossed the bucket: retry, never corrupt
+    else:
+        raise RuntimeError("sharded build buffer sizing diverged")
+    total_dumped = int(off_end.sum())  # exact dumps of the emit pass itself
     n_us = np.asarray(n_us)  # readback: compact each device's stream
     m = octree_ops.bucket(int(n_us.max()))
 
