@@ -61,6 +61,11 @@ def main(argv=None):
     ap.add_argument("--hdri", default="procedural",
                     help="'procedural', 'none', or a .hdr path")
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    ap.add_argument(
+        "--build-devices", type=int, default=0,
+        help="shard the per-frame scene build over N devices "
+             "(parallel/build.py; 0 = single-device build)",
+    )
     ap.add_argument("--out", default="out/anim")
     args = ap.parse_args(argv)
     if args.accel is None:
@@ -107,10 +112,18 @@ def main(argv=None):
         origin = (lo + hi) * 0.5 - grid_res * dps * 0.5
 
         t0 = time.time()
-        tree = scene.build_scene(
-            tri, col, emi, origin=origin, dps=dps, grid_res=grid_res,
-            accel=args.accel,
-        )
+        if args.build_devices > 1:
+            from ..parallel import build as pbuild
+
+            tree = pbuild.build_scene_sharded(
+                tri, col, emi, origin=origin, dps=dps, grid_res=grid_res,
+                accel=args.accel, n_devices=args.build_devices,
+            )
+        else:
+            tree = scene.build_scene(
+                tri, col, emi, origin=origin, dps=dps, grid_res=grid_res,
+                accel=args.accel,
+            )
         t_update = time.time() - t0
 
         center = origin + grid_res * dps * 0.5
