@@ -74,6 +74,10 @@ def make_sharded_pt_step(mesh: Mesh, *, stack_depth: int,
                 P(),
             ),
             out_specs=P("dp"),
+            # the hako accel runs pallas_call inside the shard (per-device
+            # ray blocks, replicated tables); pallas out_shapes carry no
+            # varying-mesh-axes annotation, so the vma check must be off
+            check_vma=False,
         )(meta, root_entry, lower, upper, color_table, emission_table,
           pmj_table, env, cam_o, cam_right, cam_up, cam_front,
           tan_half_fovy, lens_r, focus, accum, spp_base)

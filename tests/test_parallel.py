@@ -18,12 +18,17 @@ from massivevoxelraytracing_tpu.utils import hdr, meshgen
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_pt_equals_single_chip():
-    grid_res = 16
+@pytest.mark.parametrize("accel", ["octree", "hako"])
+def test_sharded_pt_equals_single_chip(accel):
+    # hako = the flagship Pallas traversal riding the same sharded step
+    # (interpret-mode kernels on the CPU test mesh; real kernels on TPU)
+    grid_res = 16 if accel == "octree" else 64
     tri = meshgen.icosphere(2, radius=0.85)
     origin, dps = meshgen.fit_grid(tri, grid_res)
     col = meshgen.vertex_colors_from_position(tri, *meshgen.mesh_bounds(tri))
-    tree = scene.build_scene(tri, col, origin=origin, dps=dps, grid_res=grid_res)
+    tree = scene.build_scene(
+        tri, col, origin=origin, dps=dps, grid_res=grid_res, accel=accel
+    )
 
     extent = float(dps) * grid_res
     center = np.asarray(origin) + extent / 2
@@ -73,6 +78,7 @@ def test_sharded_pt_equals_single_chip():
     step = prender.make_sharded_pt_step(
         m, stack_depth=depth, spp_per_device=spd, width=width, height=height,
         n_pixels=n, has_emission=tree.has_emission, hdri_enabled=True,
+        accel_kind=kind,
     )
     out = np.asarray(step(*args_head, accum, jnp.uint32(0)))
 
