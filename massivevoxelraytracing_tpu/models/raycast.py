@@ -148,8 +148,22 @@ def _gen_rays_tiled(
     index -- no order array), so the final un-permutation is a pure
     reshape/transpose instead of two 2M-row gathers that used to cost ~50 ms
     of the 1080p frame on this backend's gather pricing."""
+    return _gen_rays_band(
+        cam_o, cam_right, cam_up, cam_front, tan_half_fovy,
+        jnp.int32(0), width=width, height=height,
+        band_tile_rows=-(-height // TILE),
+    )
+
+
+def _gen_rays_band(
+    cam_o, cam_right, cam_up, cam_front, tan_half_fovy, py0,
+    *, width: int, height: int, band_tile_rows: int,
+):
+    """Tile-major ray gen for a band of tile rows starting at pixel row py0
+    (the per-device slice of the sharded render; py0=0 + full rows = the
+    whole frame). Rays outside the real frame park at 1e9."""
     ntx = -(-width // TILE)
-    nty = -(-height // TILE)
+    nty = band_tile_rows
     w2 = ntx * TILE
     h2 = nty * TILE
     n_pad = w2 * h2
@@ -157,7 +171,7 @@ def _gen_rays_tiled(
     ti = lane // (TILE * TILE)
     k = lane % (TILE * TILE)
     px = (ti % ntx) * TILE + (k % TILE)
-    py = (ti // ntx) * TILE + (k // TILE)
+    py = (ti // ntx) * TILE + (k // TILE) + py0
     live = (px < width) & (py < height)
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
@@ -174,8 +188,19 @@ def _shade_untile(
     color_table, rd, t, nmaj, vidx,
     *, width: int, height: int, show_color: bool,
 ):
+    return _shade_untile_band(
+        color_table, rd, t, nmaj, vidx, width=width,
+        band_tile_rows=-(-height // TILE), rows_out=height,
+        show_color=show_color,
+    )
+
+
+def _shade_untile_band(
+    color_table, rd, t, nmaj, vidx,
+    *, width: int, band_tile_rows: int, rows_out: int, show_color: bool,
+):
     ntx = -(-width // TILE)
-    nty = -(-height // TILE)
+    nty = band_tile_rows
     img, t = _shade_flat(color_table, rd, t, nmaj, vidx,
                          show_color=show_color)
 
@@ -183,7 +208,7 @@ def _shade_untile(
         c = x.shape[1:]
         y = x.reshape((nty, ntx, TILE, TILE) + c)
         y = jnp.transpose(y, (0, 2, 1, 3) + tuple(4 + i for i in range(len(c))))
-        return y.reshape((nty * TILE, ntx * TILE) + c)[:height, :width]
+        return y.reshape((nty * TILE, ntx * TILE) + c)[:rows_out, :width]
 
     return untile(img), untile(t)
 

@@ -15,6 +15,58 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 
+def make_sharded_render(mesh: Mesh, *, width: int, height: int,
+                        kind: str, depth, show_color: bool = False):
+    """Primary-ray frame (the `render` debug kernel, voxKernel.cu:437-483)
+    over every device of the mesh: 128-pixel tile-row bands shard across a
+    flattened device axis, each device runs raygen -> traversal -> shading
+    on its band with the scene tables replicated; the assembled frame comes
+    back row-sharded. Per-lane results are identical to the single-device
+    render_frame (the traversal kernels run on fixed-size blocks whose
+    float context does not depend on the frame partition)."""
+    from ..models import raycast
+
+    devs = mesh.devices.reshape(-1)
+    d = len(devs)
+    flat = Mesh(devs, ("rows",))
+    nty = -(-height // raycast.TILE)
+    band_nty = -(-nty // d)
+    band_rows = band_nty * raycast.TILE
+
+    def render(meta, root, lower, upper, color_table, cam_o, cam_right,
+               cam_up, cam_front, tan_half_fovy):
+        def shard_fn(meta, root, lower, upper, color_table, cam_o,
+                     cam_right, cam_up, cam_front, tan_half_fovy):
+            r_idx = jax.lax.axis_index("rows").astype(jnp.int32)
+            py0 = r_idx * jnp.int32(band_rows)
+            ro, rd = raycast._gen_rays_band(
+                cam_o, cam_right, cam_up, cam_front, tan_half_fovy, py0,
+                width=width, height=height, band_tile_rows=band_nty,
+            )
+            from ..models import accel as accel_lib
+
+            t, nmaj, vidx = accel_lib.intersect_with(
+                kind, depth, meta, root, lower, upper, ro, rd
+            )
+            return raycast._shade_untile_band(
+                color_table, rd, t, nmaj, vidx, width=width,
+                band_tile_rows=band_nty, rows_out=band_rows,
+                show_color=show_color,
+            )
+
+        img, t = jax.shard_map(
+            shard_fn,
+            mesh=flat,
+            in_specs=(P(),) * 10,
+            out_specs=P("rows"),
+            check_vma=False,  # pallas out_shapes carry no vma annotation
+        )(meta, root, lower, upper, color_table, cam_o, cam_right,
+          cam_up, cam_front, tan_half_fovy)
+        return img[:height], t[:height]
+
+    return jax.jit(render)
+
+
 def make_sharded_pt_step(mesh: Mesh, *, stack_depth: int,
                          spp_per_device: int = 2, width: int, height: int,
                          n_pixels: int, has_emission: bool,
