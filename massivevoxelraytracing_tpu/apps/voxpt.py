@@ -53,6 +53,10 @@ def main(argv=None):
         "the jitted PT sample)",
     )
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    ap.add_argument(
+        "--build-devices", type=int, default=0,
+        help="shard the scene build over N devices (0 = single-device)",
+    )
     ap.add_argument("--out", default="out/pt")
     args = ap.parse_args(argv)
     if args.accel is None:
@@ -69,11 +73,19 @@ def main(argv=None):
     origin, dps = meshgen.fit_grid(tri, args.res)
 
     sw = runtime.Stopwatch()
-    tree = scene.build_scene(
-        tri, col, emi, origin=origin, dps=dps, grid_res=args.res,
+    build_kw = dict(
+        origin=origin, dps=dps, grid_res=args.res,
         six_separating=cfg.six_separating, dag=cfg.dag, cap=cfg.cap,
         chunk_tris=cfg.chunk_tris, accel=args.accel,
     )
+    if args.build_devices > 1:
+        from ..parallel import build as pbuild
+
+        tree = pbuild.build_scene_sharded(
+            tri, col, emi, n_devices=args.build_devices, **build_kw
+        )
+    else:
+        tree = scene.build_scene(tri, col, emi, **build_kw)
     t_build = sw.lap("build", tree.bricks if hasattr(tree, "bricks") else tree.meta)
     print(
         f"[voxpt] res({args.res}) voxels({tree.n_voxels}) nodes({tree.n_nodes}) "

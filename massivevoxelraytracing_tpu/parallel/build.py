@@ -40,6 +40,7 @@ big array -- never leaves its device.
 
 from __future__ import annotations
 
+import functools
 import time
 
 import numpy as np
@@ -63,6 +64,84 @@ def make_build_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("dp",))
+
+
+@functools.lru_cache(maxsize=32)
+def _passes(mesh: Mesh, grid_res: int, six_separating: bool, cap: int,
+            cand_per_chunk: int):
+    """Jitted count + emit/group-unique passes, cached per (mesh, static
+    voxelizer params) so per-frame rebuilds reuse the traced programs
+    (origin/dps ride as traced arguments; buf as a static arg that only
+    changes when the dump total crosses a pow2 bucket)."""
+
+    def vox(tv, tc, te, origin, dps):
+        return vox_ops.voxelize_dense(
+            tv, tc, te, origin, dps,
+            grid_res=grid_res, six_separating=six_separating, cap=cap,
+        )
+
+    # pass 1 (voxCount): per-chunk dumped counts, all devices at once;
+    # ONE readback (the reference's readback #1)
+    @jax.jit
+    def count_pass(tv, tc, te, origin, dps):
+        def fn(tv, tc, te, origin, dps):
+            def body(args):
+                return vox_ops.count_voxels(vox(*args, origin, dps))
+
+            return jax.lax.map(body, (tv, tc, te))
+
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(P("dp"),) * 3 + (P(), P()),
+            out_specs=P("dp"),
+        )(tv, tc, te, origin, dps)
+
+    # pass 2 (voxelize + group unique), entirely device-local: emit each
+    # chunk's sort-compacted candidates at a RUNNING offset carried through
+    # the scan (self-consistent with this pass's own valid counts -- see
+    # module docstring), then reduce the local stream to per-voxel channel
+    # sums. No cross-device traffic until the tiny unique streams merge.
+    @functools.partial(jax.jit, static_argnames=("buf",))
+    def emit_unique_pass(tv, tc, te, origin, dps, buf):
+        def fn(tv, tc, te, origin, dps):
+            bufs = tuple(
+                jnp.full((buf,), jnp.uint32(INVALID)) for _ in range(2)
+            ) + tuple(jnp.zeros((buf,), U32) for _ in range(2))
+            # the carry is per-device state: mark it varying over 'dp'
+            # (a replicated literal carry trips the scan vma check)
+            bufs = tuple(
+                jax.lax.pcast(b, ("dp",), to="varying") for b in bufs
+            )
+            off0 = jax.lax.pcast(jnp.int32(0), ("dp",), to="varying")
+
+            def body(carry, args):
+                bufs, off = carry
+                cands = vox(*args, origin, dps)
+                n_valid = vox_ops.count_voxels(cands)
+                # clamp so a (drifted) overflow can only overwrite the
+                # buffer tail in place, never scatter out of bounds; the
+                # host checks off_end and re-runs bigger if it ever trips
+                off_c = jnp.minimum(off, jnp.int32(buf - cand_per_chunk))
+                return (
+                    scene_mod._chunk_emit(bufs, cands, off_c),
+                    off + n_valid,
+                ), None
+
+            (bufs, off_end), _ = jax.lax.scan(
+                body, (bufs, off0), (tv, tc, te)
+            )
+            m_hi, m_lo, colors, emissions = bufs
+            out, n_u = vox_ops.sort_and_unique_sums(
+                m_hi, m_lo, colors, emissions,
+                m_hi != jnp.uint32(INVALID),
+            )
+            return tuple(x[None] for x in out) + (n_u[None], off_end[None])
+
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(P("dp"),) * 3 + (P(), P()),
+            out_specs=P("dp"),
+        )(tv, tc, te, origin, dps)
+
+    return count_pass, emit_unique_pass
 
 
 def build_scene_sharded(
@@ -116,27 +195,12 @@ def build_scene_sharded(
 
     tri_s, col_s, emi_s = stack(tri), stack(col), stack(emi)
 
-    def vox(tv, tc, te):
-        return vox_ops.voxelize_dense(
-            tv, tc, te, origin_j, float(dps),
-            grid_res=grid_res, six_separating=six_separating, cap=cap,
-        )
-
-    # pass 1 (voxCount): per-chunk dumped counts, all devices at once;
-    # ONE readback (the reference's readback #1)
-    @jax.jit
-    def count_pass(tv, tc, te):
-        def fn(tv, tc, te):
-            def body(args):
-                return vox_ops.count_voxels(vox(*args))
-
-            return jax.lax.map(body, (tv, tc, te))
-
-        return jax.shard_map(
-            fn, mesh=mesh, in_specs=(P("dp"),) * 3, out_specs=P("dp")
-        )(tv, tc, te)
-
-    counts = np.asarray(count_pass(tri_s, col_s, emi_s))  # readback 1
+    count_pass, emit_unique_pass = _passes(
+        mesh, grid_res, six_separating, cap, cand_per_chunk
+    )
+    counts = np.asarray(
+        count_pass(tri_s, col_s, emi_s, origin_j, jnp.float32(dps))
+    )  # readback 1
     t_count = time.time()
     total_dumped = int(counts.sum())
     if total_dumped == 0:
@@ -147,55 +211,12 @@ def build_scene_sharded(
     dev_counts = counts.reshape(dp, L)
     dev_tot = dev_counts.sum(axis=1)
 
-    # pass 2 (voxelize + group unique), entirely device-local: emit each
-    # chunk's sort-compacted candidates at a RUNNING offset carried through
-    # the scan (self-consistent with this pass's own valid counts -- see
-    # module docstring), then reduce the local stream to per-voxel channel
-    # sums. No cross-device traffic until the tiny unique streams merge.
-    def emit_unique_pass(tv, tc, te, buf: int):
-        def fn(tv, tc, te):
-            bufs = tuple(
-                jnp.full((buf,), jnp.uint32(INVALID)) for _ in range(2)
-            ) + tuple(jnp.zeros((buf,), U32) for _ in range(2))
-            # the carry is per-device state: mark it varying over 'dp'
-            # (a replicated literal carry trips the scan vma check)
-            bufs = tuple(
-                jax.lax.pcast(b, ("dp",), to="varying") for b in bufs
-            )
-            off0 = jax.lax.pcast(jnp.int32(0), ("dp",), to="varying")
-
-            def body(carry, args):
-                bufs, off = carry
-                cands = vox(*args)
-                n_valid = vox_ops.count_voxels(cands)
-                # clamp so a (drifted) overflow can only overwrite the
-                # buffer tail in place, never scatter out of bounds; the
-                # host checks off_end and re-runs bigger if it ever trips
-                off_c = jnp.minimum(off, jnp.int32(buf - cand_per_chunk))
-                return (
-                    scene_mod._chunk_emit(bufs, cands, off_c),
-                    off + n_valid,
-                ), None
-
-            (bufs, off_end), _ = jax.lax.scan(
-                body, (bufs, off0), (tv, tc, te)
-            )
-            m_hi, m_lo, colors, emissions = bufs
-            out, n_u = vox_ops.sort_and_unique_sums(
-                m_hi, m_lo, colors, emissions,
-                m_hi != jnp.uint32(INVALID),
-            )
-            return tuple(x[None] for x in out) + (n_u[None], off_end[None])
-
-        return jax.jit(
-            jax.shard_map(
-                fn, mesh=mesh, in_specs=(P("dp"),) * 3, out_specs=P("dp")
-            )
-        )(tv, tc, te)
-
+    # pass 2 (voxelize + group unique): see _passes for the body
     buf = octree_ops.bucket(int(dev_tot.max()) + cand_per_chunk)
     for _attempt in range(4):
-        *streams, n_us, off_end = emit_unique_pass(tri_s, col_s, emi_s, buf)
+        *streams, n_us, off_end = emit_unique_pass(
+            tri_s, col_s, emi_s, origin_j, jnp.float32(dps), buf=buf
+        )
         off_end = np.asarray(off_end)
         if int(off_end.max()) <= buf - cand_per_chunk:
             break
