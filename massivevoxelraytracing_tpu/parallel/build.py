@@ -144,6 +144,20 @@ def _passes(mesh: Mesh, grid_res: int, six_separating: bool, cap: int,
     return count_pass, emit_unique_pass
 
 
+# merge the compacted [dp, m] streams: the axis-1 slice is local to each
+# device; the reshape to one global stream is the build's ONLY cross-device
+# traffic (an all_gather of a few bytes per unique voxel, inserted by XLA
+# when the sharded stream meets the replicated sort)
+@functools.partial(jax.jit, static_argnames=("m",))
+def _merge(streams, *, m: int):
+    dp = streams[0].shape[0]
+    cat = [
+        jax.lax.slice(s, (0, 0), (dp, min(m, s.shape[1]))).reshape(-1)
+        for s in streams
+    ]
+    return vox_ops.merge_unique_sums(cat[0], cat[1], cat[2:8], cat[8])
+
+
 def build_scene_sharded(
     tri_verts,
     tri_colors=None,
@@ -227,19 +241,7 @@ def build_scene_sharded(
     n_us = np.asarray(n_us)  # readback: compact each device's stream
     m = octree_ops.bucket(int(n_us.max()))
 
-    # merge the compacted [dp, m] streams: the axis-1 slice is local to
-    # each device; the reshape to one global stream is the build's ONLY
-    # cross-device traffic (an all_gather of a few bytes per unique voxel,
-    # inserted by XLA when the sharded stream meets the replicated sort)
-    @jax.jit
-    def merge(streams):
-        cat = [
-            jax.lax.slice(s, (0, 0), (dp, min(m, s.shape[1]))).reshape(-1)
-            for s in streams
-        ]
-        return vox_ops.merge_unique_sums(cat[0], cat[1], cat[2:8], cat[8])
-
-    uniq = jax.device_put(merge(tuple(streams)), repl)
+    uniq = jax.device_put(_merge(tuple(streams), m=m), repl)
     n_unique = int(uniq["n_unique"])  # readback 2
     t_unique = time.time()
 
