@@ -1,1 +1,1 @@
-from . import mesh, render  # noqa: F401
+from . import bigscene, build, mesh, render  # noqa: F401
