@@ -136,3 +136,50 @@ def test_compaction_is_bit_identical(monkeypatch):
     frac_off = np.mean(ref != got)
     assert frac_off < 0.05, f"{frac_off:.3f} of elements drifted: not ulp noise"
 
+
+
+def test_half_sky_floor_analytic_half_albedo():
+    """Analytic transport oracle with a NON-uniform environment (the
+    white furnace cannot catch directional pdf/table errors -- any
+    normalized sampler integrates a constant env to 1). A lambertian
+    floor (albedo 1, normal +Y) under an azimuthal HALF sky (E=1 over
+    half the azimuth, 0 over the other) receives exactly
+
+        L = (a/pi) * int cos(theta) * [half-space] domega = a/2
+
+    by symmetry, for ANY azimuthal split. Bounce rays leave the flat
+    floor upward and terminate on the env WITHOUT contribution (env
+    radiance enters only via the primary miss and NEE, matching the
+    reference's transport, voxKernel.cu:678-716), so the expectation is
+    exact at every bounce depth. This pins the 7-table importance
+    sampling, SAT normalization, pdf, and NEE geometry to an analytic
+    value."""
+    grid_res = 32
+    # a big quad floor at y = 0.5, voxelized inside a unit grid
+    lo, hi = 0.08, 0.92
+    quad = np.asarray(
+        [
+            [[lo, 0.5, lo], [hi, 0.5, lo], [hi, 0.5, hi]],
+            [[lo, 0.5, lo], [hi, 0.5, hi], [lo, 0.5, hi]],
+        ],
+        np.float32,
+    )
+    tree = scene.build_scene(
+        quad, np.ones_like(quad), np.zeros_like(quad),
+        origin=np.zeros(3, np.float32), dps=1.0 / grid_res,
+        grid_res=grid_res,
+    )
+    env = np.zeros((16, 32, 3), np.float32)
+    env[:, :16] = 1.0  # azimuthal half-sky
+    pt = make_pt(tree, env, env_scale=1.0)
+    cam = camera_ops.Camera.look_at(
+        eye=np.array([0.5, 0.92, 0.5]), target=np.array([0.5, 0.5, 0.499]),
+        fovy_deg=25.0,
+    )
+    for _ in range(4):
+        pt.step(cam, n_spp=16)
+    acc = np.asarray(pt.accum).reshape(H, W, 4)
+    # central pixels look straight down at the floor
+    c = acc[H // 2 - 8 : H // 2 + 8, W // 2 - 8 : W // 2 + 8]
+    val = c[..., :3].sum() / c[..., 3].sum() / 3.0
+    assert abs(val - 0.5) < 0.02, f"half-sky floor radiance {val} != 0.5"
