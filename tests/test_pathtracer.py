@@ -183,3 +183,55 @@ def test_half_sky_floor_analytic_half_albedo():
     c = acc[H // 2 - 8 : H // 2 + 8, W // 2 - 8 : W // 2 + 8]
     val = c[..., :3].sum() / c[..., 3].sum() / 3.0
     assert abs(val - 0.5) < 0.02, f"half-sky floor radiance {val} != 0.5"
+
+
+def test_emissive_ceiling_analytic_radiance():
+    """Quantitative emission-transport oracle: a black (albedo 0) ceiling
+    emitting Le over an albedo-1 floor, black environment. A floor point
+    whose upper hemisphere the ceiling covers receives exactly
+
+        L = a * Le_eff,   Le_eff = emission_scale * packed(0.4)
+
+    (one bounce; the a=0 ceiling reflects nothing, so no series). With
+    the planes 1 voxel row apart and ~13:1 extent:gap, cosine-weighted
+    coverage is sin^2(atan(13)) ~ 0.994. The emission reaches the
+    estimator through BOTH the depth-0 extra implicit ray and the BSDF
+    ray, each weighted 1/(1+n) (voxKernel.cu:720-759) -- this pins that
+    averaging to unbiasedness plus the emission_scale wiring (7.5,
+    IntersectorOctreeGPU.hpp:273)."""
+    grid_res = 32
+    lo, hi = 0.08, 0.92
+
+    def quad(y):
+        return np.asarray(
+            [
+                [[lo, y, lo], [hi, y, lo], [hi, y, hi]],
+                [[lo, y, lo], [hi, y, hi], [lo, y, hi]],
+            ],
+            np.float32,
+        )
+
+    tri = np.concatenate([quad(16.2 / 32), quad(18.2 / 32)])
+    col = np.zeros_like(tri)
+    col[:2] = 1.0   # floor: albedo 1
+    emi = np.zeros_like(tri)
+    emi[2:] = 0.4   # ceiling: pure emitter
+    tree = scene.build_scene(
+        tri, col, emi, origin=np.zeros(3, np.float32), dps=1.0 / grid_res,
+        grid_res=grid_res,
+    )
+    assert tree.has_emission
+    env = np.zeros((8, 16, 3), np.float32)  # black sky
+    pt = make_pt(tree, env, env_scale=1.0)
+    cam = camera_ops.Camera.look_at(
+        eye=np.array([0.5, 17.6 / 32, 0.5]),
+        target=np.array([0.5, 0.5, 0.4999]),
+        fovy_deg=20.0,
+    )
+    for _ in range(6):
+        pt.step(cam, n_spp=16)
+    acc = np.asarray(pt.accum).reshape(H, W, 4)
+    c = acc[H // 2 - 8 : H // 2 + 8, W // 2 - 8 : W // 2 + 8]
+    val = c[..., :3].sum() / c[..., 3].sum() / 3.0
+    le_eff = 7.5 * (102 / 255.0)  # emission_scale * quantized 0.4
+    assert abs(val / le_eff - 1.0) < 0.05, (val, le_eff)
