@@ -235,3 +235,46 @@ def test_emissive_ceiling_analytic_radiance():
     val = c[..., :3].sum() / c[..., 3].sum() / 3.0
     le_eff = 7.5 * (102 / 255.0)  # emission_scale * quantized 0.4
     assert abs(val / le_eff - 1.0) < 0.05, (val, le_eff)
+
+
+def test_opaque_ceiling_blocks_sky_anyhit_shadows():
+    """End-to-end occlusion oracle for the optimized ANY-HIT shadow path:
+    an albedo-1 floor under a UNIFORM unit sky would converge to 1 (the
+    furnace), but with an opaque non-emissive ceiling 1 voxel row above
+    it, every NEE shadow ray is blocked and every bounce ray terminates
+    on dark geometry: the floor must read ~0 (only the ~0.6% rim gap
+    leaks). A shadow traversal that false-missed occluders would leak
+    the full sky here."""
+    grid_res = 32
+    lo, hi = 0.08, 0.92
+
+    def quad(y):
+        return np.asarray(
+            [
+                [[lo, y, lo], [hi, y, lo], [hi, y, hi]],
+                [[lo, y, lo], [hi, y, hi], [lo, y, hi]],
+            ],
+            np.float32,
+        )
+
+    tri = np.concatenate([quad(16.2 / 32), quad(18.2 / 32)])
+    col = np.zeros_like(tri)
+    col[:2] = 1.0   # floor: albedo 1; ceiling black, not emissive
+    tree = scene.build_scene(
+        tri, col, np.zeros_like(tri),
+        origin=np.zeros(3, np.float32), dps=1.0 / grid_res,
+        grid_res=grid_res,
+    )
+    env = np.ones((8, 16, 3), np.float32)  # unit sky everywhere
+    pt = make_pt(tree, env, env_scale=1.0)
+    cam = camera_ops.Camera.look_at(
+        eye=np.array([0.5, 17.6 / 32, 0.5]),
+        target=np.array([0.5, 0.5, 0.4999]),
+        fovy_deg=20.0,
+    )
+    for _ in range(2):
+        pt.step(cam, n_spp=16)
+    acc = np.asarray(pt.accum).reshape(H, W, 4)
+    c = acc[H // 2 - 8 : H // 2 + 8, W // 2 - 8 : W // 2 + 8]
+    val = c[..., :3].sum() / c[..., 3].sum() / 3.0
+    assert val < 0.02, f"occluded floor leaked {val} of the sky"
