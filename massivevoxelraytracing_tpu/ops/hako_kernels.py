@@ -806,9 +806,11 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
             ).astype(jnp.bfloat16)
             acc = None
             for b, uref in enumerate((u0_ref, u1_ref, u2_ref, u3_ref)):
+                # Mosaic has no f32->u32 cast; hop through i32 (values
+                # are exact byte sums in [0, 255], so i32 is lossless)
                 pb = jnp.dot(
                     uref[0], oh, preferred_element_type=jnp.float32
-                ).astype(jnp.uint32) << (8 * b)
+                ).astype(jnp.int32).astype(jnp.uint32) << (8 * b)
                 acc = pb if acc is None else acc | pb
             full = acc.reshape(BRICK_WORDS, S_BLK, 128)
             w_ref[:, :, :] = full[:128]
