@@ -141,10 +141,8 @@ _FACTORY = dict(CAP_DIV=8, PACK_DIV=2, UNIQ=0, TWO_BRICK=0,
                 MAX_PROBES=4, MAX_DDA_ITERS=24, VAC_PICK=0, VAC_RUN=2)
 # TUNED_BY_RES_BEGIN (rewritten by scripts/pick_knobs.py --apply)
 TUNED_BY_RES = {
-    256: {},    # factory knobs are the 256^3 sweep optimum
-    1024: {},   # factory knobs are the 1024^3 sweep optimum
-    # 2048^3+ optimum measured 2026-08-17 (scripts/cap_sweep.py): narrow
-    # rounds win when nb is huge; nb/64 beat nb/8 by ~2.2x at 54M voxels
+    256: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=0, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 13.7 Mrays/s (sweep-applied)
+    1024: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=0, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24, VAC_PICK=64, VAC_RUN=2),  # 2.6 Mrays/s (sweep-applied)
     2048: dict(CAP_DIV=64),
 }
 # TUNED_BY_RES_END
