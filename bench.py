@@ -11,11 +11,20 @@ every resolution (54.4M unique voxels at 2048^3 vs the dragon's 55M;
 The same scene feeds scripts/cap_sweep.py, so swept traversal knobs
 transfer to this measurement exactly.
 
+A path-traced stage (the BASELINE.json north star is path-traced Mrays/s,
+not primary) runs after the primary stage and lands in the same JSON line
+as pt_* fields: one 16-spp PathTracer step at the same frame size over the
+same lattice tree under a procedural sky, counting all traced rays
+(1 primary + 8 bounces x (1 NEE any-hit + 1 BSDF) = 17 rays/sample).
+Reference: ~200 ms / 16 spp at 1080p over 41M voxels (seminar slide 67).
+
 Environment knobs:
   MVRT_BENCH_RES   grid resolution (default 1024)
   MVRT_BENCH_W/H   frame size (default 1920x1080)
   MVRT_BENCH_ITERS timed frames (default 4)
   MVRT_BENCH_SCENE lattice (default) | sphere (round-1's weak stand-in)
+  MVRT_BENCH_PT    0 disables the path-traced stage (default on)
+  MVRT_BENCH_PT_ITERS timed PT steps after the warm step (default 1)
 """
 
 import json
@@ -116,6 +125,15 @@ def main():
         f"frame={dt*1e3:.1f}ms "
         f"hit={hit_frac:.2f}\n"
     )
+
+    # --- path-traced stage (the north-star metric: BASELINE.json asks for
+    # path-traced Mrays/s/chip, which primary-only benches leave invisible)
+    pt_fields = {}
+    if os.environ.get("MVRT_BENCH_PT", "0" if on_cpu else "1") != "0":
+        try:
+            pt_fields = pt_stage(tree, cam, width, height, grid_res)
+        except Exception as e:  # the primary JSON line must still print
+            pt_fields = {"pt_error": f"{type(e).__name__}: {str(e)[:160]}"}
     print(
         json.dumps(
             {
@@ -131,9 +149,62 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 1000.0, 4),
+                **pt_fields,
             }
         )
     )
+
+
+def pt_stage(tree, cam, width, height, grid_res):
+    """One timed 16-spp PathTracer step over the same tree, procedural sky.
+
+    Rays per sample: 1 primary + MAX_BOUNCES x (NEE any-hit + BSDF) = 17
+    (the lattice has no emissive voxels, so no extra implicit ray).
+    Reference point: 200 ms / 16 spp at 1080p over 41M voxels
+    (seminar_ushio.pdf slide 67) ~= 2800 Mrays/s counted the same way.
+    """
+    from massivevoxelraytracing_tpu.models.pathtracer import (
+        MAX_BOUNCES, PathTracer,
+    )
+
+    iters = int(os.environ.get("MVRT_BENCH_PT_ITERS", 1))
+    pt = PathTracer(width=width, height=height)
+    pt.setup()
+    h, w = 64, 128
+    ang = np.linspace(0, np.pi, h)[:, None]
+    sky = np.stack([
+        np.broadcast_to(0.6 + 0.4 * np.cos(ang), (h, w)),
+        np.broadcast_to(0.7 + 0.3 * np.cos(ang), (h, w)),
+        np.broadcast_to(0.9 + 0.1 * np.cos(ang), (h, w)),
+    ], -1).astype(np.float32)
+    pt.load_hdri(sky)
+    pt.update_scene(tree)
+    t0 = time.time()
+    pt.step(cam)
+    jax.block_until_ready(pt.accum)
+    first_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        pt.step(cam)
+    jax.block_until_ready(pt.accum)
+    dt = (time.time() - t0) / iters
+    n_spp = pt.n_batch_spp
+    rays = width * height * n_spp * (1 + 2 * MAX_BOUNCES)
+    mean_rad = float(jnp.mean(pt.accum[:, :3]))
+    sys.stderr.write(
+        f"[bench-pt] res={grid_res} {width}x{height} {n_spp}spp: "
+        f"{dt:.3f} s/step (first {first_s:.1f}s) mean={mean_rad:.4f}\n"
+    )
+    return {
+        "pt_metric": (
+            f"path-traced {n_spp}-spp step @{grid_res}^3 lattice, "
+            f"{width}x{height}, sky NEE any-hit, {1 + 2 * MAX_BOUNCES} "
+            f"rays/sample (reference: 0.2 s @1080p/41M voxels)"
+        ),
+        "pt_s_per_step": round(dt, 3),
+        "pt_mrays": round(rays / dt / 1e6, 2),
+        "pt_vs_baseline": round((rays / dt / 1e6) / 500.0, 4),
+    }
 
 
 if __name__ == "__main__":

@@ -236,12 +236,14 @@ def pt_sample(
             alive[:, None], ro + rd * jnp.where(miss, 0.0, t)[:, None], 1e9
         )
 
-        # Draw the bounce's sample dims in the reference's fixed order, then
-        # trace the NEE shadow ray, the depth-0 implicit ray, and the BSDF
-        # ray as ONE concatenated batch: per-lane traversal results are
-        # independent of batching (bit-identical to separate calls), and a
-        # single round driver amortizes the per-call fixed costs the three
-        # separate drivers each paid.
+        # Draw the bounce's sample dims in the reference's fixed order.
+        # The NEE shadow ray traces SEPARATELY with the any-hit kernel
+        # (shadow=True): visibility is a boolean, so any-hit early-out
+        # (voxCommon.hpp:326-334 isShadowRay) keeps radiance bit-identical
+        # while occluded lanes retire on their first leaf instead of
+        # walking to the closest hit -- at 8 bounces NEE is ~half of all
+        # traversals. The depth-0 implicit ray and the BSDF ray still ride
+        # one concatenated closest-hit batch to amortize the round driver.
         dir_s = emissive = pdf = None
         if hdri_enabled:
             u01 = s2d()
@@ -258,17 +260,17 @@ def pt_sample(
         ro = jnp.where(alive[:, None], hit_p, 1e9)
         rd = jnp.where(alive[:, None], dir_b, rd)
 
-        ro_sets = [hit_p] * (dir_s is not None) + \
-            [hit_p] * (dir_e is not None) + [ro]
-        rd_sets = [d for d in (dir_s, dir_e, rd) if d is not None]
+        ro_sets = [hit_p] * (dir_e is not None) + [ro]
+        rd_sets = [d for d in (dir_e, rd) if d is not None]
         t_all, nm_all, vi_all = intersect(
-            jnp.concatenate(ro_sets), jnp.concatenate(rd_sets), False
+            jnp.concatenate(ro_sets) if len(ro_sets) > 1 else ro_sets[0],
+            jnp.concatenate(rd_sets) if len(rd_sets) > 1 else rd_sets[0],
+            False,
         )
         k = 0
         if dir_s is not None:
-            # NEE to the env (voxKernel.cu:697-716)
-            t_s = t_all[k * R:(k + 1) * R]
-            k += 1
+            # NEE to the env (voxKernel.cu:697-716), any-hit
+            t_s, _, _ = intersect(hit_p, dir_s, True)
             vis = alive & (t_s >= 1e37)
             cosw = jnp.maximum(jnp.sum(hit_n * dir_s, axis=-1), 0.0)
             contrib = T * (refl / jnp.pi) * (cosw / pdf)[:, None] * emissive
@@ -369,9 +371,10 @@ class PathTracer:
         n = self.width * self.height
         # pixel sub-packet: the spp batch multiplies the wavefront width;
         # adapt to the frame (pow2 buckets) but cap pixels * n_spp * 2 at
-        # packet -- the bounce loop traces NEE+implicit+BSDF rays as one
-        # concatenated batch (2-3x the lane width), and batches beyond ~4M
-        # lanes fault this backend (device error; 3M measured fine)
+        # packet -- the bounce loop traces implicit+BSDF rays as one
+        # concatenated closest-hit batch (up to 2x the lane width; NEE
+        # traces separately as any-hit), and batches beyond ~4M lanes
+        # fault this backend (device error; 3M measured fine)
         np2 = 1 << max(n - 1, 1).bit_length()
         pix_packet = max(min(self.packet // (max(n_spp, 1) * 2), np2), 1024)
         n_pad = -(-n // pix_packet) * pix_packet

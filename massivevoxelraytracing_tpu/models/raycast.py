@@ -19,8 +19,7 @@ from ..ops import camera as camera_ops
 from ..ops.voxelize import rgb8_to_f32
 from . import accel as accel_lib
 
-MAX_RAY_PACKET = 1 << 21  # up to 2M rays per render dispatch
-RAY_PACKET = MAX_RAY_PACKET  # kept for callers; render_rays adapts downward
+MAX_RAY_PACKET = 1 << 21  # up to 2M rays per render dispatch; render_rays adapts downward
 
 
 def _next_pow2(n: int) -> int:

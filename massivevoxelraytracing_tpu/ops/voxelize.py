@@ -349,7 +349,6 @@ def count_voxels(cands):
 
 
 @jax.jit
-@jax.jit
 def sort_and_unique_sums(m_hi, m_lo, color, emission, valid):
     """Group stage of the HIERARCHICAL unique used at production scale
     (>= ~50M dumped voxels, where one global 4-operand sort of the whole

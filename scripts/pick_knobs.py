@@ -36,7 +36,7 @@ PAT = re.compile(
 
 
 PT_PAT = re.compile(
-    r"\[pt\] accel=hako res=(\d+) \d+x\d+ 16spp: "
+    r"\[pt\] accel=hako res=(\d+)(?: scene=\w+)? \d+x\d+ 16spp: "
     r"([0-9.]+) s/step \(first [0-9.]+s\) mean=([-0-9.e+]+) "
     r"knobs\[([^\]]*)\]"
 )

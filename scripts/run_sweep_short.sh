@@ -21,8 +21,11 @@ batch() {  # batch RES COMBOS timeout
   RES=$1 COMBOS=$2 timeout $to python scripts/cap_sweep.py >> "$LOG" 2>&1
 }
 # combo = capd:packd:uniq:twob[:p[:d[:vacp[:vacr]]]]
-batch 256  "8:1:0:0,8:1:64:0,8:1:64:1,8:1:0:0:4:24:64:2,8:1:64:0:4:24:64:2" 1200
-batch 1024 "8:1:0:0,8:1:64:0,8:1:64:1,8:1:0:0:4:24:64:2,8:1:64:0:4:24:64:2" 1500
+# Every batch MUST carry the factory combo (8:2:0:0) and its VAC variant:
+# pick_knobs --apply pins every knob of the winner, so a ladder that only
+# runs packd=1 pins PACK_DIV=1 by default-of-absence (the round-2 gotcha).
+batch 256  "8:2:0:0,8:1:0:0,8:1:64:0,8:2:64:0,8:1:64:1,8:2:0:0:4:24:64:2,8:1:64:0:4:24:64:2" 1200
+batch 1024 "8:2:0:0,8:1:0:0,8:1:64:0,8:2:64:0,8:1:64:1,8:2:0:0:4:24:64:2,8:1:64:0:4:24:64:2" 1500
 python scripts/pick_knobs.py "$LOG" --apply >> "$LOG" 2>&1
 echo "--- BENCH WARM $(date +%H:%M:%S)" >> "$LOG"
 timeout 1500 python bench.py >> "$LOG" 2>&1
