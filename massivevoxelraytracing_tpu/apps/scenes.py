@@ -49,6 +49,15 @@ def load_scene(name: str):
 
 
 _ABC_CACHE: dict = {}
+_LATTICE_CACHE: list = []
+
+
+def _lattice_base():
+    """Rest-pose contest-scale mesh (generated once per process: 1.1M
+    triangles take ~10 s of host trig on this 1-core box)."""
+    if not _LATTICE_CACHE:
+        _LATTICE_CACHE.append(meshgen.sphere_lattice(6, 4))
+    return _LATTICE_CACHE[0]
 
 
 def animated_scene(name: str, frame: int, total_frames: int):
@@ -81,6 +90,21 @@ def animated_scene(name: str, frame: int, total_frames: int):
         tri = tri @ rot.T
     elif name == "bumpy":
         tri = meshgen.bumpy_sphere(5, radius=0.9, bump=0.1 + 0.15 * t, freq=4 + 6 * t)
+    elif name == "lattice":
+        # reference-shaped contest scene: 1.1M triangles (the rtcamp9.abc
+        # scene is 1.2M, seminar_ushio.pdf slide 67) at dragon-class voxel
+        # density (54.4M unique @2048^3), rigidly tumbling per frame so
+        # every frame is a full re-voxelize + rebuild like RTCamp.cpp:146.
+        tri, col = _lattice_base()
+        ang = 2 * np.pi * t
+        c, s = np.cos(ang), np.sin(ang)
+        rot_y = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        a2 = 0.35 * np.sin(2 * np.pi * t)
+        c2, s2 = np.cos(a2), np.sin(a2)
+        rot_x = np.array([[1, 0, 0], [0, c2, -s2], [0, s2, c2]], np.float32)
+        ctr = np.float32(0.5)
+        tri = ((tri - ctr) @ (rot_x @ rot_y).T + ctr).astype(np.float32)
+        return tri, col, np.zeros_like(tri)
     else:
         tri, _, _ = load_scene(name)
     lo, hi = meshgen.mesh_bounds(tri)

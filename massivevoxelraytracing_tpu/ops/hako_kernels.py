@@ -143,7 +143,7 @@ _FACTORY = dict(CAP_DIV=8, PACK_DIV=2, UNIQ=0, TWO_BRICK=0,
 TUNED_BY_RES = {
     256: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=32, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 16.0 Mrays/s (sweep-applied)
     1024: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=64, TWO_BRICK=1, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 5.0 Mrays/s (sweep-applied)
-    2048: dict(CAP_DIV=16, PACK_DIV=1, UNIQ=64, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 4.4 Mrays/s (sweep-applied)
+    2048: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=64, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 5.0 Mrays/s (sweep-applied)
 }
 # TUNED_BY_RES_END
 
