@@ -272,7 +272,10 @@ def _cell_of(cx, cy, cz):
     )
 
 
-SCAN_IMPL = "walk"  # "walk" (10-slot lattice walk) or "scan" (64-cell sweep)
+SCAN_IMPL = "walk"  # "walk" (10-slot lattice walk), "walkw" (same walk as an
+#                     early-exit while_loop: identical floats, exits when
+#                     every lane has found/died -- coherent blocks settle in
+#                     3-5 slots), or "scan" (64-cell sweep)
 
 
 def _plane(t1, dc, k, stable: bool = False):
@@ -331,8 +334,93 @@ def _walk64(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
     if SCAN_IMPL == "scan":
         return _scan64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
                             dcx, dcy, dcz, t_q, stable)
+    if SCAN_IMPL == "walkw":
+        return _walk64_while(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
+                             dcx, dcy, dcz, t_q, stable)
     return _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
                         dcx, dcy, dcz, t_q, stable)
+
+
+def _walk64_while(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
+                  stable: bool = False):
+    """_walk64_impl's 10-slot walk as an early-exit while_loop: the same
+    slot body computing the same floats, but the loop stops as soon as no
+    lane is still walking (all found their cell or left the node). Unrolled
+    slots cost ~35 vector ops each whether or not any lane needs them; a
+    coherent primary block usually settles in 3-5, so the loop trades a
+    per-trip any-reduce for skipping the dead tail. Bit-identical to the
+    unrolled walk by construction (found lanes never update)."""
+    tq0 = jnp.maximum(t_q, 0.0)
+    z4 = jnp.full_like(vm6, 4)
+    z0 = jnp.zeros_like(vm6)
+
+    def pl_(t1, dc, k):
+        return _plane(t1, dc, k, stable)
+
+    node_en = _max3(pl_(t1x, dcx, z0), pl_(t1y, dcy, z0),
+                    pl_(t1z, dcz, z0))
+    node_ex = _min3(t1x, t1y, t1z)
+    t_start = jnp.maximum(node_en, tq0)
+
+    def start_coord(t1, dc):
+        return (
+            (pl_(t1, dc, z0 + 1) <= t_start).astype(I32)
+            + (pl_(t1, dc, z0 + 2) <= t_start).astype(I32)
+            + (pl_(t1, dc, z0 + 3) <= t_start).astype(I32)
+        )
+
+    cx = start_coord(t1x, dcx)
+    cy = start_coord(t1y, dcy)
+    cz = start_coord(t1z, dcz)
+    en = _max3(pl_(t1x, dcx, cx), pl_(t1y, dcy, cy),
+               pl_(t1z, dcz, cz))
+    nx = pl_(t1x, dcx, jnp.minimum(cx + 1, z4))
+    ny = pl_(t1y, dcy, jnp.minimum(cy + 1, z4))
+    nz = pl_(t1z, dcz, jnp.minimum(cz + 1, z4))
+
+    alive = t_start < node_ex
+    zf = jnp.full_like(t1x, MAX_FLOAT)
+
+    def cond(st):
+        walking, slot = st[0], st[-1]
+        return jnp.any(walking != 0) & (slot < 10)
+
+    def body(st):
+        (walking_i, cx, cy, cz, en, nx, ny, nz,
+         best_en, best_ex, best_c, slot) = st
+        walking = walking_i != 0
+        ex = _min3(nx, ny, nz)
+        cell = _cell_of(cx, cy, cz)
+        occ = _bit_at(mask_lo, mask_hi, cell ^ vm6)
+        take = walking & occ & (en < ex) & (ex > tq0)
+        best_en = jnp.where(take, en, best_en)
+        best_ex = jnp.where(take, ex, best_ex)
+        best_c = jnp.where(take, cell, best_c)
+        sx = (nx <= ny) & (nx <= nz)
+        sy = ~sx & (ny <= nz)
+        sz = ~sx & ~sy
+        cx = cx + sx.astype(I32)
+        cy = cy + sy.astype(I32)
+        cz = cz + sz.astype(I32)
+        nx = jnp.where(
+            sx & (cx < 4), pl_(t1x, dcx, jnp.minimum(cx + 1, z4)), nx
+        )
+        ny = jnp.where(
+            sy & (cy < 4), pl_(t1y, dcy, jnp.minimum(cy + 1, z4)), ny
+        )
+        nz = jnp.where(
+            sz & (cz < 4), pl_(t1z, dcz, jnp.minimum(cz + 1, z4)), nz
+        )
+        walking = walking & ~take & (cx < 4) & (cy < 4) & (cz < 4)
+        return (walking.astype(I32), cx, cy, cz, ex, nx, ny, nz,
+                best_en, best_ex, best_c, slot + 1)
+
+    out = jax.lax.while_loop(cond, body, (
+        alive.astype(I32), cx, cy, cz, en, nx, ny, nz,
+        zf, zf, jnp.full_like(vm6, 64), jnp.int32(0),
+    ))
+    res = _stable((out[8], out[9], out[10]), stable)
+    return res[0], res[1], res[2]
 
 
 def _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,

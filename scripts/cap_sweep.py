@@ -64,6 +64,7 @@ def main():
     # any requested value that happens to equal the factory default once
     # pick_knobs --apply has written sweep winners into it.
     hk.TUNED_BY_RES = {}
+    hk.SCAN_IMPL = os.environ.get("SCANI", hk.SCAN_IMPL)
     hk.CAP_DIV = int(os.environ.get("CAPD", hk.CAP_DIV))
     hk.PACK_DIV = int(os.environ.get("PACKD", hk.PACK_DIV))
     hk.MAX_PROBES = int(os.environ.get("P", hk.MAX_PROBES))
