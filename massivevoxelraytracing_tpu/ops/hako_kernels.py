@@ -108,6 +108,20 @@ VAC_PICK = 0               # straggler-vacuum tail rung (0 disables): once
                            # pack_div=1, uniq=0 (its prefix is already
                            # dense and its gather is tiny).
 VAC_RUN = 2                # blocks the vacuum rung actually runs
+FUSE_BOOK = 0              # fused bookkeeping (1 enables): kernels read the
+                           # persistent [nb, RB] ray/tq/resolved state rows
+                           # DIRECTLY via scalar-prefetch BlockSpecs (index
+                           # map block i -> sel[i]) and a tiny merge kernel
+                           # with input_output_aliasing writes the round's
+                           # 5 state arrays back in place -- replacing the
+                           # XLA pick (11 row-takes) + put (5 row-scatters)
+                           # + final where-merges, which cost ~2.2 ms of the
+                           # 7.47 ms round at 1024^3 (scripts/r3_phase_split
+                           # .py 2026-08-19: row-granular take/scatter on
+                           # this backend prices ~1 us/row, so 16 x 128-row
+                           # ops dominate the bookkeeping). Requires
+                           # pack_div=1 and no vacuum rung (those paths
+                           # permute lanes, which breaks sel-mapped reads).
 PACK_DIV = 2               # emit-dense packing: the brick-row gather and
                            # kernel B run on cap/PACK_DIV blocks of lanes
                            # sorted emit-first (1 disables). The row gather is
@@ -138,7 +152,8 @@ TRACE_ACT = None     # eager-mode stats hook: scripts/act_stats.py appends
 # the per-scale optimum. Keys are grid resolutions; lookup picks the
 # nearest in log space. Values come from on-chip sweeps (sweep_r2.log).
 _FACTORY = dict(CAP_DIV=8, PACK_DIV=2, UNIQ=0, TWO_BRICK=0,
-                MAX_PROBES=4, MAX_DDA_ITERS=24, VAC_PICK=0, VAC_RUN=2)
+                MAX_PROBES=4, MAX_DDA_ITERS=24, VAC_PICK=0, VAC_RUN=2,
+                FUSE_BOOK=0)
 # TUNED_BY_RES_BEGIN (rewritten by scripts/pick_knobs.py --apply)
 TUNED_BY_RES = {
     256: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=32, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 16.0 Mrays/s (sweep-applied)
@@ -163,7 +178,7 @@ TUNED_PT_BY_RES = {
 _KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
                     TWO_BRICK="two_brick", MAX_PROBES="max_probes",
                     MAX_DDA_ITERS="max_dda", VAC_PICK="vac_pick",
-                    VAC_RUN="vac_run")
+                    VAC_RUN="vac_run", FUSE_BOOK="fuse_book")
 
 
 def _nearest_log(table, grid_res, max_ratio=None):
@@ -673,19 +688,32 @@ def _ray_preamble(lov, upv, ro, rd, stable: bool = False):
 # ---------------------------------------------------------------------------
 
 def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
-                   max_probes: int | None = None, twob: bool = False):
+                   max_probes: int | None = None, twob: bool = False,
+                   fused: bool = False):
     """twob: also emit the SECOND brick along the ray within the same
     last-level node (a second _walk64 keyed past the first brick's exit),
     so the driver can chain two leaf stages per probe round -- halving
     kernel-A invocations and bookkeeping per brick visit. ~3 of 4 next
     bricks lie in the same 4^3 node (the 4th crosses a node face and
-    re-probes as usual)."""
+    re-probes as usual).
+
+    fused (FUSE_BOOK): the kernel leads with (sel, real) scalar-prefetch
+    refs, its ray/tq state inputs arrive sel-mapped straight from the
+    persistent [nb*S_BLK, 128] state (no XLA pick), and the activity mask
+    input is the raw RESOLVED row (act = resolved==0 & real[i]) instead of
+    a precomputed act array."""
     if max_probes is None:
         max_probes = MAX_PROBES  # read at build time so tests can patch it
     n_tabs = T - 1
     assert len(level_rows) == n_tabs
 
-    def kernel(si_ref, sf_ref, *refs):
+    def kernel(*allrefs):
+        if fused:
+            sel_ref, real_ref, si_ref, sf_ref = allrefs[:4]
+            refs = allrefs[4:]
+        else:
+            si_ref, sf_ref = allrefs[:2]
+            refs = allrefs[2:]
         tabs = refs[:n_tabs]
         if twob:
             (rox, roy, roz, rdx, rdy, rdz, tq_ref, act_ref,
@@ -704,7 +732,12 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
         upv = [sf_ref[0, 3 + a] for a in range(3)]
         t0, t1, dt, vm6, enter_ok = _ray_preamble(lov, upv, ro, rd, stable)
 
-        act = act_ref[:] != 0
+        if fused:
+            # act_ref holds the sel-mapped RESOLVED row; fill slots
+            # (sel clipped onto block nb-1) deactivate via real[i]
+            act = (act_ref[:] == 0) & (real_ref[pl.program_id(0)] != 0)
+        else:
+            act = act_ref[:] != 0
         rt_ml = _u(jnp.full_like(vm6, si_ref[0, 0])) | (
             _u(jnp.full_like(vm6, si_ref[0, 1])) << 16
         )
@@ -853,7 +886,7 @@ def _fold_select(items, sel_bits, nbits):
 
 def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
                    max_iters: int | None = None, leaf: bool = True,
-                   dedup_u: int = 0):
+                   dedup_u: int = 0, fused: bool = False):
     """leaf=True: walk a 16^3-VOXEL brick, report the first voxel hit.
     leaf=False: walk a 16^3-BRICK supernode row (same layout), EMIT the
     first brick whose interval passes the resume key -- outputs mirror
@@ -867,7 +900,16 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         max_iters = MAX_DDA_ITERS  # read at build time so tests can patch it
     dt_factor = 0.25 ** T  # fat-row extent / root extent per axis
 
-    def kernel(sf_ref, *allrefs):
+    def kernel(*toprefs):
+        if fused:
+            # fused mode leads with the (sel, real) prefetch refs; the six
+            # ray inputs arrive sel-mapped from the persistent state (real
+            # is unused here -- go already masks fill slots)
+            sf_ref = toprefs[2]
+            allrefs = toprefs[3:]
+        else:
+            sf_ref = toprefs[0]
+            allrefs = toprefs[1:]
         if dedup_u:
             u0_ref, u1_ref, u2_ref, u3_ref, rank_ref = allrefs[:5]
             refs = allrefs[5:]
@@ -1037,12 +1079,80 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
 # XLA orchestration
 # ---------------------------------------------------------------------------
 
-def _blk(i):
+def _blk(i, *_prefetch):
     return (i, 0)
 
 
-def _rep(i):
+def _rep(i, *_prefetch):
     return (0, 0)
+
+
+def _selblk(i, sel_ref, *_prefetch):
+    """Block index map for sel-mapped state reads/writes (FUSE_BOOK):
+    grid step i touches block sel[i] of the persistent [nb*S_BLK, 128]
+    state. sel is pre-clipped to nb-1 by the driver; fill slots carry
+    real[i]=0 and write their old block back unchanged."""
+    return (sel_ref[i], 0)
+
+
+def _make_merge_kernel(twb: bool):
+    """FUSE_BOOK put stage: computes the round's final where-merges and
+    writes the 5 state arrays IN PLACE (input_output_aliasing + sel-mapped
+    out blocks) -- replacing the XLA pick of the old rows, the elementwise
+    merge pass, and the 5 row-scatters. Mirrors _make_round.body lines
+    'go = emit * act' .. 'put(...)' exactly (bit-identical floats: the
+    same jnp expressions on the same inputs)."""
+
+    def kernel(sel_ref, real_ref, *refs):
+        (res_o, tq_o, t_o, nm_o, vi_o,
+         emit, tqe, bt1x, bt1y, bt1z, tqn, exh,
+         served2, hit, t_hit, nmaj, vr, more, tqr) = refs[:19]
+        k = 19
+        if twb:
+            (b2x, b2y, b2z, srv_b2, hit_b, t_b, nm_b, vr_b,
+             more_b, tqr_b) = refs[k:k + 10]
+            k += 10
+        (res_ref, tq_ref, t_ref, nm_ref, vi_ref) = refs[k:k + 5]
+
+        act = (res_o[:] == 0) & (real_ref[pl.program_id(0)] != 0)
+        go = (emit[:] != 0) & act
+        tqn_v = jnp.where(
+            go & (served2[:] == 0),
+            tqe[:],
+            jnp.where(
+                go,
+                jnp.where(more[:] != 0, tqr[:],
+                          _min3(bt1x[:], bt1y[:], bt1z[:])),
+                tqn[:],
+            ),
+        )
+        hit_v = hit[:] != 0
+        t_v = t_hit[:]
+        nm_v = nmaj[:]
+        vr_v = vr[:]
+        if twb:
+            sb2 = srv_b2[:] != 0
+            tqn_v = jnp.where(
+                sb2,
+                jnp.where(more_b[:] != 0, tqr_b[:],
+                          _min3(b2x[:], b2y[:], b2z[:])),
+                tqn_v,
+            )
+            hit2 = sb2 & (hit_b[:] != 0)
+            t_v = jnp.where(hit2, t_b[:], t_v)
+            nm_v = jnp.where(hit2, nm_b[:], nm_v)
+            vr_v = jnp.where(hit2, vr_b[:], vr_v)
+            hit_v = hit_v | hit2
+        newhit = act & hit_v
+        res_ref[:] = jnp.where(
+            act & (newhit | (exh[:] != 0)), jnp.int32(1), res_o[:]
+        )
+        tq_ref[:] = jnp.where(act, tqn_v, tq_o[:])
+        t_ref[:] = jnp.where(newhit, t_v, t_o[:])
+        nm_ref[:] = jnp.where(newhit, nm_v, nm_o[:])
+        vi_ref[:] = jnp.where(newhit, vr_v, vi_o[:])
+
+    return kernel
 
 
 def _make_round(
@@ -1520,6 +1630,256 @@ def _make_round(
     return body
 
 
+def _make_round_fused(
+    bricks, snodes, tabs, scal_i, sf, rays_s, *,
+    nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
+    interpret: bool, uniq: int, max_probes: int, max_dda: int,
+    two_brick: bool = False,
+):
+    """FUSE_BOOK round: the same traversal round as _make_round with
+    pack_div=1/uniq>0/no vacuum, but with the XLA pick/put bookkeeping
+    fused away:
+
+      * kernel A and kernel B read the persistent per-ray state rows
+        DIRECTLY via scalar-prefetch BlockSpecs (block i -> sel[i]);
+      * a merge kernel computes the final where-merges and writes the 5
+        state arrays in place (input_output_aliases + sel-mapped outs).
+
+    State arrays carry ONE SPARE BLOCK (index nb): underfull rounds point
+    their fill slots there (real[i]=0), so a fill write can never clobber
+    a genuine block's update. rays_s are the spare-padded (nb+1)*S_BLK
+    views. Bit-identical to the unfused round by construction: the same
+    jnp expressions run on the same values, only their residence moved
+    (tests/test_hako.py::test_hako_fuse_book_equivalence)."""
+    s2 = cap * S_BLK
+    shape = (s2, 128)
+    smem = pl.BlockSpec((1, 8), _rep, memory_space=pltpu.SMEM)
+    vblk = pl.BlockSpec((S_BLK, 128), _blk, memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((S_BLK, 128), _selblk, memory_space=pltpu.VMEM)
+    tab_specs = [tab_spec(f) for f in level_rows]
+
+    fat = snodes is not None
+    twb = bool(two_brick) and not fat
+    a_outs = [
+        jax.ShapeDtypeStruct(shape, I32),          # emit
+        jax.ShapeDtypeStruct(shape, I32),          # brick
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1x
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1y
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # bt1z
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_emit
+        jax.ShapeDtypeStruct(shape, jnp.float32),  # tq_new
+        jax.ShapeDtypeStruct(shape, I32),          # exhausted
+    ]
+    if twb:
+        a_outs += [
+            jax.ShapeDtypeStruct(shape, I32),
+            jax.ShapeDtypeStruct(shape, I32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+        ]
+    a_call = pl.pallas_call(
+        _make_kernel_a(T, level_rows, stable=interpret,
+                       max_probes=max_probes, twob=twb, fused=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # sel (clipped), real
+            grid=(cap,),
+            in_specs=[smem, smem] + tab_specs + [sblk] * 8,
+            out_specs=[vblk] * len(a_outs),
+        ),
+        out_shape=a_outs,
+        interpret=interpret,
+    )
+
+    ublk = pl.BlockSpec(
+        (1, BRICK_WORDS, max(uniq, 1)), lambda i, *_: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def make_b(dt_exp, leaf):
+        return pl.pallas_call(
+            _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf,
+                           dedup_u=uniq, max_iters=max_dda, fused=True),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(cap,),
+                in_specs=([smem] + [ublk] * 4 + [vblk]
+                          + [sblk] * 6 + [vblk] * 5),
+                out_specs=[vblk] * 8,
+                scratch_shapes=[
+                    pltpu.VMEM((128, S_BLK, 128), jnp.uint32),
+                    pltpu.VMEM((BRICK_WORDS - 128, S_BLK, 128), jnp.uint32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(shape, I32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, I32),
+                jax.ShapeDtypeStruct(shape, I32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, I32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+            ],
+            interpret=interpret,
+        )
+
+    b_leaf = make_b(T + 2 if fat else T, True)
+    if fat:
+        b_snode = make_b(T, False)
+
+    n_state = (nb + 1) * S_BLK
+    sshape = (n_state, 128)
+    n_merge_in = 19 + (10 if twb else 0)
+    merge_call = pl.pallas_call(
+        _make_merge_kernel(twb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(cap,),
+            in_specs=[sblk] * 5 + [vblk] * (n_merge_in - 5),
+            out_specs=[sblk] * 5,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(sshape, I32),
+            jax.ShapeDtypeStruct(sshape, jnp.float32),
+            jax.ShapeDtypeStruct(sshape, jnp.float32),
+            jax.ShapeDtypeStruct(sshape, I32),
+            jax.ShapeDtypeStruct(sshape, I32),
+        ],
+        # args: (sel, real, res, tq, t, nm, vi, ...) -- aliasing indices
+        # count the scalar-prefetch args (verified on-chip + interpret)
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 4},
+        interpret=interpret,
+    )
+
+    tab_a, tab_m = bricks
+
+    def dedup_rows(table_pair, emit, child):
+        ta, tm = table_pair
+        ids = jnp.where(
+            emit != 0, child, jnp.int32(0x7FFFFFFF)
+        ).reshape(cap, RB)
+        pos = jnp.broadcast_to(
+            jnp.arange(RB, dtype=I32)[None, :], (cap, RB)
+        )
+        ids_s, pos_s = jax.lax.sort(
+            (ids, pos), dimension=1, num_keys=1, is_stable=True
+        )
+        bnd = jnp.concatenate(
+            [jnp.ones((cap, 1), I32),
+             (ids_s[:, 1:] != ids_s[:, :-1]).astype(I32)], axis=1,
+        )
+        rank_s = jnp.cumsum(bnd, axis=1) - 1
+        _, uids = jax.lax.sort(
+            (1 - bnd, ids_s), dimension=1, num_keys=1, is_stable=True
+        )
+        uids = jax.lax.slice(uids, (0, 0), (cap, uniq))
+        _, rank_l = jax.lax.sort(
+            (pos_s, rank_s), dimension=1, num_keys=1, is_stable=False
+        )
+        rank_ok = (rank_l < uniq).astype(I32).reshape(s2, 128)
+        rank_blk = jnp.minimum(rank_l, uniq - 1).reshape(s2, 128)
+        rows = jnp.concatenate(
+            [
+                jnp.take(ta, uids.reshape(-1), axis=0, mode="clip"),
+                jnp.take(tm, uids.reshape(-1), axis=0, mode="clip"),
+            ],
+            axis=1,
+        )
+        planes = [
+            jnp.transpose(
+                ((rows >> (8 * b)) & jnp.uint32(0xFF))
+                .astype(jnp.bfloat16)
+                .reshape(cap, uniq, BRICK_WORDS),
+                (0, 2, 1),
+            )
+            for b in range(4)
+        ]
+        return planes, rank_blk, rank_ok
+
+    def body(st):
+        it, resolved, t_q, t_out, nmaj_out, vidx_out = st
+        actb = jnp.any(resolved[:nb] == 0, axis=1)  # spare block excluded
+        shift = (it * cap) % nb
+        sel_r = jnp.nonzero(
+            jnp.roll(actb, -shift), size=cap, fill_value=nb
+        )[0]
+        sel = jnp.where(sel_r < nb, (sel_r + shift) % nb, nb)  # fills -> spare
+        real = (sel < nb).astype(I32)
+        res_s = resolved.reshape(n_state, 128)
+        tq_s = t_q.reshape(n_state, 128)
+
+        a_out = a_call(sel, real, scal_i, sf, *tabs, *rays_s, tq_s, res_s)
+        emit, child, bt1x, bt1y, bt1z, tqe, tqn, exh = a_out[:8]
+        if twb:
+            emit2, child2, b2x, b2y, b2z = a_out[8:13]
+
+        def row_stage(bfn, table, go_in, child_in, p1, p2, p3, tqe_in):
+            planes, rank_blk, rank_ok = dedup_rows(table, go_in, child_in)
+            go2 = go_in * rank_ok
+            outs = bfn(sel, real, sf, *planes, rank_blk, *rays_s,
+                       p1, p2, p3, tqe_in, go2)
+            return outs, go2
+
+        # act for go-masking: emit already carries it (kernel A computed
+        # act = resolved==0 & real in-kernel, and emit requires act)
+        if fat:
+            go_s = emit
+            (emit2f, bp1, bp2i, brick, bp3, btq, more_s,
+             tqr_s), served1 = row_stage(
+                b_snode, snodes, go_s, child, bt1x, bt1y, bt1z, tqe)
+            bp2f = jax.lax.bitcast_convert_type(bp2i, jnp.float32)
+            tqn = jnp.where(
+                (go_s != 0) & (served1 == 0),
+                tqe,
+                jnp.where(
+                    (go_s != 0) & (emit2f == 0),
+                    jnp.where(more_s != 0, tqr_s, _min3(bt1x, bt1y, bt1z)),
+                    tqn,
+                ),
+            )
+            emit = emit2f
+            bt1x, bt1y, bt1z = bp1, bp2f, bp3
+            tqe = btq
+            child = brick
+
+        go = emit
+        (hit, t_hit, nmaj, vr, _p3, _tqp, more, tq_resume), served2 = (
+            row_stage(b_leaf, bricks, go, child, bt1x, bt1y, bt1z, tqe)
+        )
+        margs = [emit, tqe, bt1x, bt1y, bt1z, tqn, exh,
+                 served2, hit, t_hit, nmaj, vr, more, tq_resume]
+        if twb:
+            b1_exit = _min3(bt1x, bt1y, bt1z)
+            go_b2 = ((go != 0) & (served2 != 0) & (hit == 0)
+                     & (more == 0) & (emit2 != 0)).astype(I32)
+            (hit_b, t_b, nm_b, vr_b, _pb, _tb, more_b, tqr_b), srv_b2 = (
+                row_stage(b_leaf, bricks, go_b2, child2, b2x, b2y, b2z,
+                          b1_exit)
+            )
+            margs += [b2x, b2y, b2z, srv_b2, hit_b, t_b, nm_b, vr_b,
+                      more_b, tqr_b]
+
+        res_n, tq_n, t_n, nm_n, vi_n = merge_call(
+            sel, real,
+            res_s, tq_s,
+            t_out.reshape(n_state, 128),
+            nmaj_out.reshape(n_state, 128),
+            vidx_out.reshape(n_state, 128),
+            *margs,
+        )
+        return (
+            it + 1,
+            res_n.reshape(nb + 1, RB),
+            tq_n.reshape(nb + 1, RB),
+            t_n.reshape(nb + 1, RB),
+            nm_n.reshape(nb + 1, RB),
+            vi_n.reshape(nb + 1, RB),
+        )
+
+    return body
+
+
 def _init_state(nb):
     z = jnp.zeros((nb, RB), I32)
     return (
@@ -1561,12 +1921,76 @@ def _driver_setup(ro, rd, lower, upper, cap, max_rounds, uniq,
     return max_rounds, rays_b, sf, vacp, vacr
 
 
+def _fuse_ok(fuse_book, uniq, pack_div, vac_pick):
+    """FUSE_BOOK requires the straight-line round shape: per-block dedup
+    (uniq>0) with no lane permutation (pack_div=1, no vacuum rung)."""
+    return bool(fuse_book) and uniq > 0 and pack_div == 1 and not vac_pick
+
+
+def _init_state_fused(nb):
+    """Fused state carries ONE SPARE BLOCK (index nb): underfull rounds
+    point fill slots there so a fill write can never clobber a genuine
+    block. The spare starts resolved=1 (never picked, never counted)."""
+    z = jnp.zeros((nb + 1, RB), I32)
+    resolved = z.at[nb].set(1)
+    return (
+        jnp.int32(0), resolved, jnp.zeros((nb + 1, RB), jnp.float32),
+        jnp.full((nb + 1, RB), MAX_FLOAT), z - 1, z,
+    )
+
+
+def _run_rungs_fused(
+    bricks, snodes, tabs, scal_i, sf, rays_b, *,
+    nb, cap, max_rounds, T, level_rows, shadow, interpret,
+    uniq, max_probes, max_dda, two_brick,
+):
+    """The cap ladder driven through _make_round_fused. Shared by the
+    jitted and eager drivers (identical rung arithmetic to the legacy
+    ladder; the vacuum rung never applies -- _fuse_ok excludes it)."""
+    # spare ray block: origin far outside the root AABB (misses), rd=1
+    rays_p = [
+        jnp.concatenate([x, jnp.full((1, RB), fill, x.dtype)])
+        for x, fill in zip(rays_b, (1e9, 1e9, 1e9, 1.0, 1.0, 1.0))
+    ]
+    rays_s = [x.reshape((nb + 1) * S_BLK, 128) for x in rays_p]
+    ladder = [cap]
+    while ladder[-1] > 16:
+        ladder.append(max(ladder[-1] // 2, 16))
+    if ladder[-1] > 8:
+        ladder.append(8)
+    st = _init_state_fused(nb)
+    for k, c in enumerate(ladder):
+        body = _make_round_fused(
+            bricks, snodes, tabs, scal_i, sf, rays_s,
+            nb=nb, cap=c, T=T, level_rows=level_rows, shadow=shadow,
+            interpret=interpret, uniq=uniq,
+            max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
+        )
+        if k + 1 < len(ladder):
+            nxt = ladder[k + 1]
+
+            def cond(st, nxt=nxt):
+                nblk = jnp.sum(jnp.any(st[1] == 0, axis=1).astype(I32))
+                return (st[0] < max_rounds) & (nblk > nxt)
+        else:
+            def cond(st):
+                return (st[0] < max_rounds) & jnp.any(st[1] == 0)
+
+        st = jax.lax.while_loop(cond, body, st)
+    _, _, _, t_out, nmaj_out, vidx_out = st
+    R = nb * RB
+    return (
+        t_out[:nb].reshape(R), nmaj_out[:nb].reshape(R),
+        vidx_out[:nb].reshape(R).astype(U32),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
         "pack_div", "uniq", "max_probes", "max_dda", "two_brick",
-        "vac_pick", "vac_run", "interpret",
+        "vac_pick", "vac_run", "fuse_book", "interpret",
     ),
 )
 def _intersect_padded(
@@ -1574,7 +1998,8 @@ def _intersect_padded(
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
     max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
-    vac_pick: int = 0, vac_run: int = 2, interpret: bool = False,
+    vac_pick: int = 0, vac_run: int = 2, fuse_book: bool = False,
+    interpret: bool = False,
 ):
     """TPU path: jitted while_loop of block-compacted rounds.
 
@@ -1591,6 +2016,14 @@ def _intersect_padded(
     max_rounds, rays_b, sf, vacp, vacr = _driver_setup(
         ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb
     )
+    if _fuse_ok(fuse_book, uniq, pack_div, vacp):
+        return _run_rungs_fused(
+            bricks, snodes, tabs, scal_i, sf, rays_b,
+            nb=nb, cap=cap, max_rounds=max_rounds, T=T,
+            level_rows=level_rows, shadow=shadow, interpret=interpret,
+            uniq=uniq, max_probes=max_probes, max_dda=max_dda,
+            two_brick=two_brick,
+        )
 
     # block-cap ladder: full-cap rounds while many blocks are active, then
     # progressively narrower rounds for the straggler tail (a round at cap
@@ -1646,7 +2079,7 @@ def _intersect_padded_eager(
     T: int, level_rows: tuple, shadow: bool, max_rounds: int | None = None,
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
     max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
-    vac_pick: int = 0, vac_run: int = 2,
+    vac_pick: int = 0, vac_run: int = 2, fuse_book: bool = False,
 ):
     """CPU/interpret path: the same rounds driven by a Python loop.
 
@@ -1664,6 +2097,26 @@ def _intersect_padded_eager(
     max_rounds, rays_b, sf, vacp, vacr = _driver_setup(
         ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb
     )
+    if _fuse_ok(fuse_book, uniq, pack_div, vacp):
+        rays_p = [
+            jnp.concatenate([x, jnp.full((1, RB), fill, x.dtype)])
+            for x, fill in zip(rays_b, (1e9, 1e9, 1e9, 1.0, 1.0, 1.0))
+        ]
+        rays_s = [x.reshape((nb + 1) * S_BLK, 128) for x in rays_p]
+        fbody = _make_round_fused(
+            bricks, snodes, tabs, scal_i, sf, rays_s,
+            nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
+            interpret=True, uniq=uniq,
+            max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
+        )
+        st = _init_state_fused(nb)
+        while int(st[0]) < max_rounds and bool(jnp.any(st[1] == 0)):
+            st = fbody(st)
+        _, _, _, t_out, nmaj_out, vidx_out = st
+        return (
+            t_out[:nb].reshape(R), nmaj_out[:nb].reshape(R),
+            vidx_out[:nb].reshape(R).astype(U32),
+        )
     body = _make_round(
         bricks, snodes, tabs, scal_i, sf, rays_b,
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
@@ -1702,6 +2155,7 @@ def intersect_rays_hako(
     max_probes: int | None = None, max_dda: int | None = None,
     two_brick: bool | None = None,
     vac_pick: int | None = None, vac_run: int | None = None,
+    fuse_book: int | None = None,
 ):
     """Full-frame traversal; pads the ray count to a multiple of 2048.
 
@@ -1743,6 +2197,7 @@ def intersect_rays_hako(
         two_brick=bool(TWO_BRICK) if two_brick is None else bool(two_brick),
         vac_pick=VAC_PICK if vac_pick is None else vac_pick,
         vac_run=VAC_RUN if vac_run is None else vac_run,
+        fuse_book=bool(FUSE_BOOK) if fuse_book is None else bool(fuse_book),
     )
     return t[:R], nmaj[:R], vidx[:R]
 

@@ -73,6 +73,7 @@ def main():
     hk.TWO_BRICK = int(os.environ.get("TWOB", hk.TWO_BRICK))
     hk.VAC_PICK = int(os.environ.get("VACP", hk.VAC_PICK))
     hk.VAC_RUN = int(os.environ.get("VACR", hk.VAC_RUN))
+    hk.FUSE_BOOK = int(os.environ.get("FUSEB", hk.FUSE_BOOK))
     grid_res = int(os.environ.get("RES", 256))
     width, height = 1920, 1088
     tree = tree_cache(grid_res)

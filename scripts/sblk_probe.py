@@ -68,11 +68,18 @@ def main():
     kw = dict(knobs)
     kw.pop("vac_pick", None)
     kw.pop("vac_run", None)
+    if os.environ.get("FUSEB"):
+        kw["fuse_book"] = int(os.environ["FUSEB"])
+
+    # upload ONCE: 2x 25 MB host->device per frame costs ~800 ms on the
+    # tunnel and buried the first runs of this probe (2026-08-19)
+    ro_d = jnp.asarray(ro)
+    rd_d = jnp.asarray(rd)
 
     def frame():
         t, nm, vi = hk.intersect_rays_hako(
             bricks, snodes, tabs, scal_i, tree.lower, tree.upper,
-            jnp.asarray(ro), jnp.asarray(rd),
+            ro_d, rd_d,
             T=T, level_rows=level_rows, shadow=False, **kw)
         return (float(jnp.sum(jnp.where(t < 1e37, t, 0.0))),
                 int(jnp.sum((t < 1e37).astype(jnp.int32))))

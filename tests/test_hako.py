@@ -198,6 +198,38 @@ def test_hako_pack_budget_equivalence(grid_res, monkeypatch):
         np.testing.assert_array_equal(r, g)
 
 
+@pytest.mark.parametrize("grid_res,twob", [(256, 1), (2048, 0)])
+def test_hako_fuse_book_equivalence(grid_res, twob, monkeypatch):
+    """FUSE_BOOK rounds (kernels read the persistent state rows via
+    scalar-prefetch sel-maps; an aliased merge kernel writes the 5 state
+    arrays in place, replacing the XLA pick/put) are bit-identical to the
+    legacy rounds -- including underfull tail rounds (fill slots write the
+    spare block, never a genuine one), dedup deferral, two-brick chaining,
+    and the 2048^3 snode chain."""
+    dps = 1.0 / grid_res
+    if grid_res > 256:
+        base = RNG.integers(0, grid_res // 8, size=(40, 3)).astype(np.uint32) * 8
+        off = RNG.integers(0, 24, size=(50, 40, 3)).astype(np.uint32)
+        c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
+        m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
+    else:
+        m = random_voxels(grid_res, 20000)
+    tree = make_tree(m, grid_res, dps)
+    n = 4096
+    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
+    target = (np.stack([x, y, z], -1) + 0.5) * dps
+    rd = (target - ro + RNG.normal(size=(n, 3)) * 0.2).astype(np.float32)
+    monkeypatch.setattr(hako_kernels, "UNIQ", 16)
+    monkeypatch.setattr(hako_kernels, "PACK_DIV", 1)
+    monkeypatch.setattr(hako_kernels, "TWO_BRICK", twob)
+    ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    monkeypatch.setattr(hako_kernels, "FUSE_BOOK", 1)
+    got = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
 @pytest.mark.parametrize("grid_res", [256, 2048])
 def test_hako_walkw_equivalence(grid_res, monkeypatch):
     """The early-exit while_loop walk (SCAN_IMPL='walkw') computes the same
