@@ -53,8 +53,20 @@ from .bits import I32, U32
 MAX_FLOAT = 3.402823466e38  # python float: jnp scalars get captured as consts in kernels
 from .hako import BRICK_WORDS, N_TAB_SEG, HakoTree
 
-S_BLK = 16                 # sublane rows per ray block
+S_BLK = 16                 # sublane rows per ray block (live value; the
+                           # tunable knob is SBLK below -- intersect_rays_hako
+                           # installs the resolved value here at trace time)
 RB = S_BLK * 128           # 2048 rays per grid step
+SBLK = 16                  # per-res tunable ray-block height (8 or 16): the
+                           # block-cap ladder retires work at BLOCK
+                           # granularity, and most rounds run lanes at 1-36%
+                           # density (scripts/act_stats.py), so 128x8 strips
+                           # retire dead work ~2x sooner at the same per-lane
+                           # kernel rate. Measured (scripts/run_r3_matrix.sh,
+                           # 2026-08-19): 8 wins at 1024^3 (381 vs 429 ms),
+                           # 16 wins at 256^3 (114.6 vs 119.6 ms) -- tail
+                           # structure differs per scale, so it rides
+                           # TUNED_BY_RES like the other knobs.
 _MASK16 = 0xFFFF
 MAX_PROBES = 4             # kernel A: descents per call. The probe loop runs
                            # to the SLOWEST lane of a 2048-lane block, so huge
@@ -153,12 +165,15 @@ TRACE_ACT = None     # eager-mode stats hook: scripts/act_stats.py appends
 # nearest in log space. Values come from on-chip sweeps (sweep_r2.log).
 _FACTORY = dict(CAP_DIV=8, PACK_DIV=2, UNIQ=0, TWO_BRICK=0,
                 MAX_PROBES=4, MAX_DDA_ITERS=24, VAC_PICK=0, VAC_RUN=2,
-                FUSE_BOOK=0)
+                FUSE_BOOK=0, SBLK=16)
 # TUNED_BY_RES_BEGIN (rewritten by scripts/pick_knobs.py --apply)
 TUNED_BY_RES = {
-    256: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=32, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 16.0 Mrays/s (sweep-applied)
-    1024: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=64, TWO_BRICK=1, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 5.0 Mrays/s (sweep-applied)
-    2048: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=64, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24),  # 5.0 Mrays/s (sweep-applied)
+    # SBLK/FUSE_BOOK columns: scripts/run_r3_matrix.sh 2026-08-19 (the
+    # matrix measured every cell bit-identical; 256^3 prefers 16-row
+    # blocks, 1024+ prefer 8-row -- the deeper scales are tail-dominated)
+    256: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=32, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24, SBLK=16),  # 18.3 Mrays/s (matrix)
+    1024: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=64, TWO_BRICK=1, MAX_PROBES=4, MAX_DDA_ITERS=24, SBLK=8, FUSE_BOOK=1),  # 5.5 Mrays/s (matrix)
+    2048: dict(CAP_DIV=8, PACK_DIV=1, UNIQ=64, TWO_BRICK=0, MAX_PROBES=4, MAX_DDA_ITERS=24, SBLK=8),  # 10.4 Mrays/s probe-harness (matrix; FUSEB=1 was 5% worse)
 }
 # TUNED_BY_RES_END
 
@@ -178,7 +193,7 @@ TUNED_PT_BY_RES = {
 _KNOB_TO_ARG = dict(CAP_DIV="cap_div", PACK_DIV="pack_div", UNIQ="uniq",
                     TWO_BRICK="two_brick", MAX_PROBES="max_probes",
                     MAX_DDA_ITERS="max_dda", VAC_PICK="vac_pick",
-                    VAC_RUN="vac_run", FUSE_BOOK="fuse_book")
+                    VAC_RUN="vac_run", FUSE_BOOK="fuse_book", SBLK="s_blk")
 
 
 def _nearest_log(table, grid_res, max_ratio=None):
@@ -1921,6 +1936,14 @@ def _driver_setup(ro, rd, lower, upper, cap, max_rounds, uniq,
     return max_rounds, rays_b, sf, vacp, vacr
 
 
+def _install_s_blk(s_blk: int):
+    """Set the live block height (kernel-make functions and the drivers
+    read the S_BLK/RB module globals at trace/build time)."""
+    global S_BLK, RB
+    S_BLK = int(s_blk)
+    RB = S_BLK * 128
+
+
 def _fuse_ok(fuse_book, uniq, pack_div, vac_pick):
     """FUSE_BOOK requires the straight-line round shape: per-block dedup
     (uniq>0) with no lane permutation (pack_div=1, no vacuum rung)."""
@@ -1990,7 +2013,7 @@ def _run_rungs_fused(
     static_argnames=(
         "T", "level_rows", "shadow", "max_rounds", "cap_blocks",
         "pack_div", "uniq", "max_probes", "max_dda", "two_brick",
-        "vac_pick", "vac_run", "fuse_book", "interpret",
+        "vac_pick", "vac_run", "fuse_book", "s_blk", "interpret",
     ),
 )
 def _intersect_padded(
@@ -1999,7 +2022,7 @@ def _intersect_padded(
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
     max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
     vac_pick: int = 0, vac_run: int = 2, fuse_book: bool = False,
-    interpret: bool = False,
+    s_blk: int = 0, interpret: bool = False,
 ):
     """TPU path: jitted while_loop of block-compacted rounds.
 
@@ -2010,6 +2033,11 @@ def _intersect_padded(
     reason: a CAP_DIV module-attr fallback here would be read once at
     trace time and silently reused from the jit cache."""
     assert cap_blocks, "resolve cap_blocks in the caller (intersect_rays_hako)"
+    if s_blk:
+        # install the per-res block height for every kernel-make below;
+        # runs at TRACE time only, and s_blk is a static arg, so each
+        # (s_blk, ...) combination gets its own consistent executable
+        _install_s_blk(s_blk)
     R = ro.shape[0]
     nb = R // RB
     cap = cap_blocks
@@ -2080,6 +2108,7 @@ def _intersect_padded_eager(
     cap_blocks: int | None = None, pack_div: int = 2, uniq: int = 0,
     max_probes: int = 4, max_dda: int = 24, two_brick: bool = False,
     vac_pick: int = 0, vac_run: int = 2, fuse_book: bool = False,
+    s_blk: int = 0,
 ):
     """CPU/interpret path: the same rounds driven by a Python loop.
 
@@ -2090,6 +2119,8 @@ def _intersect_padded_eager(
     keep every kernel a single consistent compilation (exactly the situation
     on the real TPU, where Mosaic compiles kernels separately and the issue
     cannot arise)."""
+    if s_blk:
+        _install_s_blk(s_blk)
     R = ro.shape[0]
     nb = R // RB
     # eager runs per call, so a module-attr fallback here is always fresh
@@ -2155,9 +2186,9 @@ def intersect_rays_hako(
     max_probes: int | None = None, max_dda: int | None = None,
     two_brick: bool | None = None,
     vac_pick: int | None = None, vac_run: int | None = None,
-    fuse_book: int | None = None,
+    fuse_book: int | None = None, s_blk: int | None = None,
 ):
-    """Full-frame traversal; pads the ray count to a multiple of 2048.
+    """Full-frame traversal; pads the ray count to a multiple of RB.
 
     Tuning knobs default to the module attrs (CAP_DIV/PACK_DIV/UNIQ/
     MAX_PROBES/MAX_DDA_ITERS) resolved HERE, outside any trace, and ride
@@ -2165,6 +2196,12 @@ def intersect_rays_hako(
     module-attr sweeps are both safe in one process."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # resolve + install the block height BEFORE the padding arithmetic:
+    # RB below must match the S_BLK the kernels trace with. s_blk=None
+    # (direct callers / tests that patch hk.S_BLK themselves) keeps the
+    # current live value.
+    s_blk = S_BLK if s_blk is None else int(s_blk)
+    _install_s_blk(s_blk)
     R = ro.shape[0]
     rpad = -(-R // RB) * RB
     if rpad != R:
@@ -2198,6 +2235,7 @@ def intersect_rays_hako(
         vac_pick=VAC_PICK if vac_pick is None else vac_pick,
         vac_run=VAC_RUN if vac_run is None else vac_run,
         fuse_book=bool(FUSE_BOOK) if fuse_book is None else bool(fuse_book),
+        s_blk=s_blk,
     )
     return t[:R], nmaj[:R], vidx[:R]
 

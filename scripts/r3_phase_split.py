@@ -46,8 +46,11 @@ def timeit(fn, iters=16):
 def main():
     grid_res = int(os.environ.get("RES", 1024))
     width, height = 1920, 1088
+    if os.environ.get("SBLK"):
+        hk.S_BLK = int(os.environ["SBLK"])
+        hk.RB = hk.S_BLK * 128
     knobs = hk.knobs_for_res(grid_res)
-    print(f"RES={grid_res} knobs={knobs}", flush=True)
+    print(f"RES={grid_res} SBLK={hk.S_BLK} knobs={knobs}", flush=True)
     cap_div = knobs["cap_div"]
     uniq = knobs["uniq"]
     probes = knobs["max_probes"]

@@ -94,3 +94,41 @@ def test_apply_pt_skips_on_mean_drift(tmp_path, monkeypatch):
                    + base.format(dt="2.980", m="2.1e-01", u=0) + "\n")
     pk.apply_pt_winners(str(log))
     assert target.read_text() == before  # drift -> nothing written
+
+
+def test_sblk_knob_resolution_and_equivalence():
+    """SBLK rides the tuned table into the static knob tuple (the jitted
+    driver's cache does NOT key on the S_BLK module attr, so it must
+    arrive as the s_blk static arg), and the traversal result is
+    bit-identical across block heights."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from massivevoxelraytracing_tpu.models import scene
+
+    # the shipped table pins SBLK per resolution (pollution guard: a
+    # 1024^3 call must not leak S_BLK=8 into a later 256^3 call)
+    assert hk.knobs_for_res(1024)["s_blk"] == 8
+    assert hk.knobs_for_res(256)["s_blk"] == 16
+
+    rng = np.random.RandomState(7)
+    tri = (rng.rand(40, 3, 3) * 0.8 + 0.1).astype(np.float32)
+    tree = scene.build_scene(
+        tri, None, origin=np.zeros(3, np.float32), dps=1.0 / 64,
+        grid_res=64, accel="hako")
+    meta, (T, level_rows) = hk.hako_args(tree)
+    bricks, snodes, tabs, scal_i = meta
+    n = 640
+    ro = np.full((n, 3), -0.2, np.float32)
+    rd = rng.rand(n, 3).astype(np.float32) + 0.05
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    outs = []
+    for sblk in (8, 16):
+        t, nm, vi = hk.intersect_rays_hako(
+            bricks, snodes, tabs, scal_i, tree.lower, tree.upper,
+            jnp.asarray(ro), jnp.asarray(rd), T=T, level_rows=level_rows,
+            shadow=False, s_blk=sblk, uniq=8, pack_div=1)
+        outs.append((np.asarray(t), np.asarray(nm), np.asarray(vi)))
+        assert hk.S_BLK == sblk and hk.RB == sblk * 128
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
