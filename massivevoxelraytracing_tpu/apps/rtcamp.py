@@ -148,9 +148,18 @@ def main(argv=None):
         t_render = time.time() - t0
 
         wq.put((os.path.join(args.out, f"{frame:03d}.png"), img))
+        # per-phase build split (the reference's per-frame stats line,
+        # RTCamp.cpp:144-152, plus our build_stats): frames after the
+        # first in a pow2 bucket measure the WARM per-frame rebuild
+        st = getattr(tree, "build_stats", None) or {}
+        phases = (
+            f" [split {st['t_split_s']:.2f} count {st['t_count_s']:.2f}"
+            f" unique {st['t_unique_s']:.2f} accel {st['t_accel_s']:.2f}"
+            f" vox {st['n_unique']/1e6:.1f}M]" if st else ""
+        )
         print(
             f"[frame {frame}] res( {grid_res} ) total( {time.time()-sw_total:.1f} s ) "
-            f"/ update {t_update:.3f} / render {t_render:.3f}",
+            f"/ update {t_update:.3f} / render {t_render:.3f}{phases}",
             flush=True,
         )
 

@@ -53,7 +53,8 @@ def run_combo(tree, cam, grid_res, width, height):
     dt = (time.time() - t0) / iters
     print(f"RES={grid_res} CAPD={hk.CAP_DIV} PACKD={hk.PACK_DIV} "
           f"P={hk.MAX_PROBES} D={hk.MAX_DDA_ITERS} UNIQ={hk.UNIQ} "
-          f"TWOB={hk.TWO_BRICK} VACP={hk.VAC_PICK} VACR={hk.VAC_RUN}: "
+          f"TWOB={hk.TWO_BRICK} VACP={hk.VAC_PICK} VACR={hk.VAC_RUN} "
+          f"SBLK={hk.SBLK} FUSEB={hk.FUSE_BOOK}: "
           f"{dt*1e3:.1f} ms = {width*height/dt/1e6:.1f} Mrays/s "
           f"checksum={csum:.2f} hits={nhit}", flush=True)
 
@@ -74,6 +75,8 @@ def main():
     hk.VAC_PICK = int(os.environ.get("VACP", hk.VAC_PICK))
     hk.VAC_RUN = int(os.environ.get("VACR", hk.VAC_RUN))
     hk.FUSE_BOOK = int(os.environ.get("FUSEB", hk.FUSE_BOOK))
+    hk.SBLK = int(os.environ.get("SBLK", hk.SBLK))  # knob attr, not S_BLK:
+    # rides knobs_for_res -> the s_blk static arg (jit-cache-safe in-process)
     grid_res = int(os.environ.get("RES", 256))
     width, height = 1920, 1088
     tree = tree_cache(grid_res)
