@@ -24,7 +24,7 @@ Environment knobs:
   MVRT_BENCH_ITERS timed frames (default 4)
   MVRT_BENCH_SCENE lattice (default) | sphere (round-1's weak stand-in)
   MVRT_BENCH_PT    0 disables the path-traced stage (default on)
-  MVRT_BENCH_PT_ITERS timed PT steps after the warm step (default 1)
+  MVRT_BENCH_PT_ITERS timed PT steps after the warm step (default 2)
 """
 
 import json
@@ -167,7 +167,9 @@ def pt_stage(tree, cam, width, height, grid_res):
         MAX_BOUNCES, PathTracer,
     )
 
-    iters = int(os.environ.get("MVRT_BENCH_PT_ITERS", 1))
+    # >=2 timed steps by default: a single step rides one tunnel-variance
+    # sample (VERDICT r3 weak-7)
+    iters = int(os.environ.get("MVRT_BENCH_PT_ITERS", 2))
     pt = PathTracer(width=width, height=height)
     pt.setup()
     h, w = 64, 128

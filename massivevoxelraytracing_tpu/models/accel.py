@@ -11,14 +11,23 @@ identical results (tested):
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..ops import bricktree as brick_ops
 from ..ops import hako_kernels
+from ..ops import hako_mega
 from ..ops import traverse as traverse_ops
 from ..ops import traverse2 as traverse2_ops
 from ..ops.bricktree import BrickTree
 from ..ops.hako import HakoTree
+
+
+def use_mega() -> bool:
+    """Round-4 default traversal: the persistent megakernel
+    (ops/hako_mega.py). MVRT_MEGA=0 selects the legacy round driver."""
+    return os.environ.get("MVRT_MEGA", "1") != "0"
 
 
 def accel_args(tree, profile: str = "primary"):
@@ -28,6 +37,12 @@ def accel_args(tree, profile: str = "primary"):
     `depth` the static (T, level_rows) pair. `profile` picks the tuned-knob
     overlay ("primary" for coherent camera tiles, "pt" for the path
     tracer's wavefronts -- see hako_kernels.TUNED_PT_BY_RES)."""
+    if isinstance(tree, HakoTree) and use_mega():
+        meta, (T, level_rows) = hako_mega.hako_mega_args(tree)
+        knobs = tuple(sorted(
+            hako_mega.mega_knobs(int(tree.grid_res), profile).items()
+        ))
+        return "hako_mega", (T, level_rows, knobs), meta, jnp.uint32(0)
     if isinstance(tree, HakoTree):
         meta, (T, level_rows) = hako_kernels.hako_args(tree)
         # the RESOLVED per-resolution knobs ride the static tuple, so every
@@ -55,6 +70,13 @@ BLOCK_FOR_KIND = {"brick": 16384, "octree": 8192}  # measured sweet spots
 def intersect_with(kind: str, depth, meta, root, lower, upper, ro, rd,
                    *, shadow: bool = False, block: int | None = None):
     """Dispatch inside jitted code (kind/depth are static)."""
+    if kind == "hako_mega":
+        T, level_rows, knobs = depth
+        bricks, snodes, tabs, scal_i = meta
+        return hako_mega.intersect_rays_hako_mega(
+            bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
+            T=T, level_rows=level_rows, shadow=shadow, **dict(knobs),
+        )
     if kind == "hako":
         T, level_rows, knobs = depth
         bricks, snodes, tabs, scal_i = meta

@@ -206,17 +206,22 @@ def pt_sample(
             # with the key: measured 3.8 ms vs ~35 ms for the previous
             # sort_key_val + stack + [R,18] take (per-lane row takes run on
             # the scalar core at ~30 ns/row; the sort's payload columns ride
-            # its vectorized merge passes instead)
-            (_, stream, spp, orig, vidx, nmaj1, tb,
+            # its vectorized merge passes instead).
+            # Second key: the hit-voxel rank, MONOTONE in Morton order --
+            # lanes bouncing off nearby voxels pack into the same traversal
+            # blocks, so each block touches few distinct bricks (what the
+            # megakernel's per-block dedup fetch is priced on). Pure
+            # permutation either way: radiance is bit-identical.
+            (_, vidx, stream, spp, orig, nmaj1, tb,
              rox, roy, roz, rdx, rdy, rdz,
              tx, ty, tz, lx, ly, lz) = jax.lax.sort(
-                (key, stream, spp, orig, vidx, u32(nmaj + 1),
+                (key, vidx, stream, spp, orig, u32(nmaj + 1),
                  _bits(t),
                  _bits(ro[:, 0]), _bits(ro[:, 1]), _bits(ro[:, 2]),
                  _bits(rd[:, 0]), _bits(rd[:, 1]), _bits(rd[:, 2]),
                  _bits(T[:, 0]), _bits(T[:, 1]), _bits(T[:, 2]),
                  _bits(L[:, 0]), _bits(L[:, 1]), _bits(L[:, 2])),
-                num_keys=1,
+                num_keys=2,
             )
             nmaj = nmaj1.astype(I32) - 1
             t = _f32(tb)

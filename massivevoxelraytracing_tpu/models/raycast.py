@@ -44,8 +44,10 @@ def _shade_flat(color_table, rd, t, nmaj, vidx, *, show_color: bool):
 def _hako_eager(kind: str) -> bool:
     """hako's CPU path drives interpret-mode kernel rounds from a Python
     loop (ops/hako_kernels.py:_intersect_padded_eager) and cannot sit under
-    an outer jit; stitch eagerly around it instead."""
-    return kind == "hako" and jax.default_backend() != "tpu"
+    an outer jit; stitch eagerly around it instead. The megakernel CAN sit
+    under an outer jit, but the eager stitch keeps its interpret-mode
+    compilation isolated exactly like the tested configuration."""
+    return kind in ("hako", "hako_mega") and jax.default_backend() != "tpu"
 
 
 @partial(jax.jit, static_argnames=("kind", "depth", "show_color"))

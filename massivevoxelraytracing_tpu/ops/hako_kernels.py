@@ -55,7 +55,14 @@ from .hako import BRICK_WORDS, N_TAB_SEG, HakoTree
 
 S_BLK = 16                 # sublane rows per ray block (live value; the
                            # tunable knob is SBLK below -- intersect_rays_hako
-                           # installs the resolved value here at trace time)
+                           # installs the resolved value here at trace time).
+                           # LEAK WARNING (ADVICE r3): every
+                           # intersect_rays_hako call mutates S_BLK/RB to its
+                           # per-resolution value; code reading hk.S_BLK/hk.RB
+                           # directly afterwards (hand-built kernels in
+                           # scripts/) inherits the LAST CALLER's value, and
+                           # the mutation is not thread-safe across
+                           # concurrent traces. Always pass the s_blk kwarg.
 RB = S_BLK * 128           # 2048 rays per grid step
 SBLK = 16                  # per-res tunable ray-block height (8 or 16): the
                            # block-cap ladder retires work at BLOCK
@@ -215,10 +222,16 @@ def _nearest_log(table, grid_res, max_ratio=None):
 
 
 def knobs_for_res(grid_res: int, profile: str = "primary") -> dict:
-    """Resolved intersect_rays_hako knob kwargs for a grid resolution."""
+    """Resolved intersect_rays_hako knob kwargs for a grid resolution.
+
+    Base-table lookups are bounded at 4x in resolution: a 16k^3 scale run
+    must NOT silently inherit 2048^3 winners (TWO_BRICK/SBLK were never
+    measured there) -- beyond the bound it runs factory defaults, which
+    every scale tolerates."""
     tuned = {}
     if TUNED_BY_RES:
-        tuned = dict(_nearest_log(TUNED_BY_RES, grid_res))
+        base = _nearest_log(TUNED_BY_RES, grid_res, max_ratio=4.0)
+        tuned = dict(base) if base is not None else {}
     if profile == "pt" and TUNED_PT_BY_RES:
         pt = _nearest_log(TUNED_PT_BY_RES, grid_res, max_ratio=2.0)
         if pt is not None:
@@ -302,10 +315,10 @@ def _cell_of(cx, cy, cz):
     )
 
 
-SCAN_IMPL = "walk"  # "walk" (10-slot lattice walk), "walkw" (same walk as an
-#                     early-exit while_loop: identical floats, exits when
-#                     every lane has found/died -- coherent blocks settle in
-#                     3-5 slots), or "scan" (64-cell sweep)
+SCAN_IMPL = "walk"  # "walk" (10-slot lattice walk) or "scan" (64-cell
+#                     sweep). A third variant, the early-exit while_loop
+#                     walk ('walkw'), was measured on-chip in round 3 and
+#                     never won a cell; deleted in round 4 (VERDICT r3).
 
 
 def _plane(t1, dc, k, stable: bool = False):
@@ -364,93 +377,8 @@ def _walk64(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
     if SCAN_IMPL == "scan":
         return _scan64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
                             dcx, dcy, dcz, t_q, stable)
-    if SCAN_IMPL == "walkw":
-        return _walk64_while(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
-                             dcx, dcy, dcz, t_q, stable)
     return _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z,
                         dcx, dcy, dcz, t_q, stable)
-
-
-def _walk64_while(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
-                  stable: bool = False):
-    """_walk64_impl's 10-slot walk as an early-exit while_loop: the same
-    slot body computing the same floats, but the loop stops as soon as no
-    lane is still walking (all found their cell or left the node). Unrolled
-    slots cost ~35 vector ops each whether or not any lane needs them; a
-    coherent primary block usually settles in 3-5, so the loop trades a
-    per-trip any-reduce for skipping the dead tail. Bit-identical to the
-    unrolled walk by construction (found lanes never update)."""
-    tq0 = jnp.maximum(t_q, 0.0)
-    z4 = jnp.full_like(vm6, 4)
-    z0 = jnp.zeros_like(vm6)
-
-    def pl_(t1, dc, k):
-        return _plane(t1, dc, k, stable)
-
-    node_en = _max3(pl_(t1x, dcx, z0), pl_(t1y, dcy, z0),
-                    pl_(t1z, dcz, z0))
-    node_ex = _min3(t1x, t1y, t1z)
-    t_start = jnp.maximum(node_en, tq0)
-
-    def start_coord(t1, dc):
-        return (
-            (pl_(t1, dc, z0 + 1) <= t_start).astype(I32)
-            + (pl_(t1, dc, z0 + 2) <= t_start).astype(I32)
-            + (pl_(t1, dc, z0 + 3) <= t_start).astype(I32)
-        )
-
-    cx = start_coord(t1x, dcx)
-    cy = start_coord(t1y, dcy)
-    cz = start_coord(t1z, dcz)
-    en = _max3(pl_(t1x, dcx, cx), pl_(t1y, dcy, cy),
-               pl_(t1z, dcz, cz))
-    nx = pl_(t1x, dcx, jnp.minimum(cx + 1, z4))
-    ny = pl_(t1y, dcy, jnp.minimum(cy + 1, z4))
-    nz = pl_(t1z, dcz, jnp.minimum(cz + 1, z4))
-
-    alive = t_start < node_ex
-    zf = jnp.full_like(t1x, MAX_FLOAT)
-
-    def cond(st):
-        walking, slot = st[0], st[-1]
-        return jnp.any(walking != 0) & (slot < 10)
-
-    def body(st):
-        (walking_i, cx, cy, cz, en, nx, ny, nz,
-         best_en, best_ex, best_c, slot) = st
-        walking = walking_i != 0
-        ex = _min3(nx, ny, nz)
-        cell = _cell_of(cx, cy, cz)
-        occ = _bit_at(mask_lo, mask_hi, cell ^ vm6)
-        take = walking & occ & (en < ex) & (ex > tq0)
-        best_en = jnp.where(take, en, best_en)
-        best_ex = jnp.where(take, ex, best_ex)
-        best_c = jnp.where(take, cell, best_c)
-        sx = (nx <= ny) & (nx <= nz)
-        sy = ~sx & (ny <= nz)
-        sz = ~sx & ~sy
-        cx = cx + sx.astype(I32)
-        cy = cy + sy.astype(I32)
-        cz = cz + sz.astype(I32)
-        nx = jnp.where(
-            sx & (cx < 4), pl_(t1x, dcx, jnp.minimum(cx + 1, z4)), nx
-        )
-        ny = jnp.where(
-            sy & (cy < 4), pl_(t1y, dcy, jnp.minimum(cy + 1, z4)), ny
-        )
-        nz = jnp.where(
-            sz & (cz < 4), pl_(t1z, dcz, jnp.minimum(cz + 1, z4)), nz
-        )
-        walking = walking & ~take & (cx < 4) & (cy < 4) & (cz < 4)
-        return (walking.astype(I32), cx, cy, cz, ex, nx, ny, nz,
-                best_en, best_ex, best_c, slot + 1)
-
-    out = jax.lax.while_loop(cond, body, (
-        alive.astype(I32), cx, cy, cz, en, nx, ny, nz,
-        zf, zf, jnp.full_like(vm6, 64), jnp.int32(0),
-    ))
-    res = _stable((out[8], out[9], out[10]), stable)
-    return res[0], res[1], res[2]
 
 
 def _walk64_impl(mask_lo, mask_hi, vm6, t1x, t1y, t1z, dcx, dcy, dcz, t_q,
@@ -542,7 +470,8 @@ def _gather_node_flat(tab, n_pad: int, idx):
     small (the [128, n] one-hot build is the linear-in-n part)."""
     idx_t = idx.T  # [128, S]
     chunk_a = []
-    for ch in range(S_BLK):
+    for ch in range(idx.shape[0]):  # block height from the data, not the
+        # S_BLK module global (the megakernel traces with its own height)
         col = idx_t[:, ch:ch + 1]
         oh = (
             jax.lax.broadcasted_iota(jnp.int32, (128, n_pad), 1) == col
@@ -633,7 +562,8 @@ def _gather_node(tab, rows_n: int, idx):
     select = take_along_axis along lanes (single-vreg dynamic gather)."""
     idx_t = idx.T  # [128, S]
     segcols = [[] for _ in range(N_TAB_SEG)]
-    for ch in range(S_BLK):
+    for ch in range(idx.shape[0]):  # block height from the data (see
+        # _gather_node_flat)
         rcol = idx_t[:, ch:ch + 1] >> 7
         lcol = idx_t[:, ch:ch + 1] & 127
         oh = (
@@ -702,6 +632,119 @@ def _ray_preamble(lov, upv, ro, rd, stable: bool = False):
 # kernel A: restart probe through the top tree (multi-probe)
 # ---------------------------------------------------------------------------
 
+def _probe_from_root(tabs, level_rows, T, t1, dt, vm6, rt_ml, rt_mh,
+                     need0, exhausted0, t_q0, *, max_probes: int,
+                     stable: bool, twob: bool):
+    """The probe while-loop shared by kernel A and the megakernel
+    (ops/hako_mega.py): restart descents from the root through the VMEM top
+    tree, emitting each active lane's next fat row (or exhaustion). Pure
+    code motion out of _make_kernel_a -- the floats are bit-identical.
+
+    Returns (need, tq_new, emit, brick, bt1x, bt1y, bt1z, tqe, exhausted
+    [, emit2, brick2, b2x, b2y, b2z])."""
+    zf = jnp.zeros_like(t1[0])
+    zi = jnp.zeros_like(vm6)
+
+    def probe_body(st):
+        if twob:
+            (need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i,
+             emit2_i, brick2, b2x, b2y, b2z, p) = st
+            emit2 = emit2_i != 0
+        else:
+            (need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i,
+             p) = st
+        need = need_i != 0
+        emit = emit_i != 0
+        exh = exh_i != 0
+        ok = need
+        mask_lo, mask_hi = rt_ml, rt_mh
+        base = zi
+        cur = [t1[0], t1[1], t1[2]]
+        dc = [dt[0] * 0.25, dt[1] * 0.25, dt[2] * 0.25]
+        tq_new = t_q
+
+        for depth in range(T):
+            en, ex, c, = _walk64(
+                mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
+                dc[0], dc[1], dc[2], t_q, stable=stable,
+            )
+            found = ok & (c < 64)
+            dead = ok & ~found
+            node_exit = _min3(cur[0], cur[1], cur[2])
+            tq_new = jnp.where(dead, node_exit, tq_new)
+            if depth == 0:
+                exh = exh | dead
+            ok = found
+
+            cx, cy, cz = _coords(c)
+            k4 = jnp.full_like(c, 4)
+            nt1x = _plane(cur[0], dc[0], jnp.minimum(cx + 1, k4), stable)
+            nt1y = _plane(cur[1], dc[1], jnp.minimum(cy + 1, k4), stable)
+            nt1z = _plane(cur[2], dc[2], jnp.minimum(cz + 1, k4), stable)
+            rank = _pc64_below(mask_lo, mask_hi, c ^ vm6)
+            child = base + rank
+
+            if depth == T - 1:
+                emit = emit | ok
+                brick = jnp.where(ok, child, brick)
+                bt1x = jnp.where(ok, nt1x, bt1x)
+                bt1y = jnp.where(ok, nt1y, bt1y)
+                bt1z = jnp.where(ok, nt1z, bt1z)
+                tqe = jnp.where(ok, t_q, tqe)
+                tq_new = jnp.where(ok, _min3(nt1x, nt1y, nt1z), tq_new)
+                if twob:
+                    # second brick in the SAME node: walk again keyed
+                    # past the first brick's exit
+                    tq2 = _min3(nt1x, nt1y, nt1z)
+                    _, _, c2 = _walk64(
+                        mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
+                        dc[0], dc[1], dc[2], tq2, stable=stable,
+                    )
+                    found2 = ok & (c2 < 64)
+                    c2x, c2y, c2z = _coords(c2)
+                    n2x = _plane(cur[0], dc[0],
+                                 jnp.minimum(c2x + 1, k4), stable)
+                    n2y = _plane(cur[1], dc[1],
+                                 jnp.minimum(c2y + 1, k4), stable)
+                    n2z = _plane(cur[2], dc[2],
+                                 jnp.minimum(c2z + 1, k4), stable)
+                    rank2 = _pc64_below(mask_lo, mask_hi, c2 ^ vm6)
+                    emit2 = emit2 | found2
+                    brick2 = jnp.where(found2, base + rank2, brick2)
+                    b2x = jnp.where(found2, n2x, b2x)
+                    b2y = jnp.where(found2, n2y, b2y)
+                    b2z = jnp.where(found2, n2z, b2z)
+            else:
+                childc = jnp.where(ok, child, 0)
+                mask_lo, mask_hi, base = _stable(_gather_node_any(
+                    tabs[depth], level_rows[depth], childc
+                ), stable)
+                cur = [nt1x, nt1y, nt1z]
+                dc = [dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25]
+
+        need = need & ~emit & ~exh
+        if twob:
+            return (need.astype(I32), tq_new, emit.astype(I32), brick,
+                    bt1x, bt1y, bt1z, tqe, exh.astype(I32),
+                    emit2.astype(I32), brick2, b2x, b2y, b2z, p + 1)
+        return (need.astype(I32), tq_new, emit.astype(I32), brick,
+                bt1x, bt1y, bt1z, tqe, exh.astype(I32), p + 1)
+
+    def probe_cond(st):
+        need = st[0]
+        p = st[-1]
+        return jnp.any(need != 0) & (p < max_probes)
+
+    init = (need0.astype(I32), t_q0, jnp.zeros_like(vm6), zi, zf, zf, zf,
+            t_q0, exhausted0.astype(I32))
+    if twob:
+        init = init + (zi, zi, zf, zf, zf)
+    out = jax.lax.while_loop(
+        probe_cond, probe_body, init + (jnp.int32(0),)
+    )
+    return out[:14] if twob else out[:9]
+
+
 def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
                    max_probes: int | None = None, twob: bool = False,
                    fused: bool = False):
@@ -760,108 +803,14 @@ def _make_kernel_a(T: int, level_rows: tuple, stable: bool = False,
             _u(jnp.full_like(vm6, si_ref[0, 3])) << 16
         )
 
-        zf = jnp.zeros_like(t1[0])
-        zi = jnp.zeros_like(vm6)
         t_q0 = tq_ref[:]
         exhausted0 = act & ~enter_ok
         need0 = act & enter_ok
 
-        def probe_body(st):
-            if twob:
-                (need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i,
-                 emit2_i, brick2, b2x, b2y, b2z, p) = st
-                emit2 = emit2_i != 0
-            else:
-                (need_i, t_q, emit_i, brick, bt1x, bt1y, bt1z, tqe, exh_i,
-                 p) = st
-            need = need_i != 0
-            emit = emit_i != 0
-            exh = exh_i != 0
-            ok = need
-            mask_lo, mask_hi = rt_ml, rt_mh
-            base = zi
-            cur = [t1[0], t1[1], t1[2]]
-            dc = [dt[0] * 0.25, dt[1] * 0.25, dt[2] * 0.25]
-            tq_new = t_q
-
-            for depth in range(T):
-                en, ex, c, = _walk64(
-                    mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
-                    dc[0], dc[1], dc[2], t_q, stable=stable,
-                )
-                found = ok & (c < 64)
-                dead = ok & ~found
-                node_exit = _min3(cur[0], cur[1], cur[2])
-                tq_new = jnp.where(dead, node_exit, tq_new)
-                if depth == 0:
-                    exh = exh | dead
-                ok = found
-
-                cx, cy, cz = _coords(c)
-                k4 = jnp.full_like(c, 4)
-                nt1x = _plane(cur[0], dc[0], jnp.minimum(cx + 1, k4), stable)
-                nt1y = _plane(cur[1], dc[1], jnp.minimum(cy + 1, k4), stable)
-                nt1z = _plane(cur[2], dc[2], jnp.minimum(cz + 1, k4), stable)
-                rank = _pc64_below(mask_lo, mask_hi, c ^ vm6)
-                child = base + rank
-
-                if depth == T - 1:
-                    emit = emit | ok
-                    brick = jnp.where(ok, child, brick)
-                    bt1x = jnp.where(ok, nt1x, bt1x)
-                    bt1y = jnp.where(ok, nt1y, bt1y)
-                    bt1z = jnp.where(ok, nt1z, bt1z)
-                    tqe = jnp.where(ok, t_q, tqe)
-                    tq_new = jnp.where(ok, _min3(nt1x, nt1y, nt1z), tq_new)
-                    if twob:
-                        # second brick in the SAME node: walk again keyed
-                        # past the first brick's exit
-                        tq2 = _min3(nt1x, nt1y, nt1z)
-                        _, _, c2 = _walk64(
-                            mask_lo, mask_hi, vm6, cur[0], cur[1], cur[2],
-                            dc[0], dc[1], dc[2], tq2, stable=stable,
-                        )
-                        found2 = ok & (c2 < 64)
-                        c2x, c2y, c2z = _coords(c2)
-                        n2x = _plane(cur[0], dc[0],
-                                     jnp.minimum(c2x + 1, k4), stable)
-                        n2y = _plane(cur[1], dc[1],
-                                     jnp.minimum(c2y + 1, k4), stable)
-                        n2z = _plane(cur[2], dc[2],
-                                     jnp.minimum(c2z + 1, k4), stable)
-                        rank2 = _pc64_below(mask_lo, mask_hi, c2 ^ vm6)
-                        emit2 = emit2 | found2
-                        brick2 = jnp.where(found2, base + rank2, brick2)
-                        b2x = jnp.where(found2, n2x, b2x)
-                        b2y = jnp.where(found2, n2y, b2y)
-                        b2z = jnp.where(found2, n2z, b2z)
-                else:
-                    childc = jnp.where(ok, child, 0)
-                    mask_lo, mask_hi, base = _stable(_gather_node_any(
-                        tabs[depth], level_rows[depth], childc
-                    ), stable)
-                    cur = [nt1x, nt1y, nt1z]
-                    dc = [dc[0] * 0.25, dc[1] * 0.25, dc[2] * 0.25]
-
-            need = need & ~emit & ~exh
-            if twob:
-                return (need.astype(I32), tq_new, emit.astype(I32), brick,
-                        bt1x, bt1y, bt1z, tqe, exh.astype(I32),
-                        emit2.astype(I32), brick2, b2x, b2y, b2z, p + 1)
-            return (need.astype(I32), tq_new, emit.astype(I32), brick,
-                    bt1x, bt1y, bt1z, tqe, exh.astype(I32), p + 1)
-
-        def probe_cond(st):
-            need = st[0]
-            p = st[-1]
-            return jnp.any(need != 0) & (p < max_probes)
-
-        init = (need0.astype(I32), t_q0, jnp.zeros_like(vm6), zi, zf, zf, zf,
-                t_q0, exhausted0.astype(I32))
-        if twob:
-            init = init + (zi, zi, zf, zf, zf)
-        out = jax.lax.while_loop(
-            probe_cond, probe_body, init + (jnp.int32(0),)
+        out = _probe_from_root(
+            tabs, level_rows, T, t1, dt, vm6, rt_ml, rt_mh,
+            need0, exhausted0, t_q0,
+            max_probes=max_probes, stable=stable, twob=twob,
         )
         (need, tq_new, emit, brick, bt1x, bt1y, bt1z, tqe,
          exhausted) = out[:9]
@@ -897,6 +846,115 @@ def _fold_select(items, sel_bits, nbits):
         half = len(cur) // 2
         cur = [jnp.where(cond, cur[i + half], cur[i]) for i in range(half)]
     return cur[0]
+
+
+def _dda_rows(w_ref, m_ref, dt, vm6, bt1, tqe0, go, *, dt_factor: float,
+              shadow: bool, leaf: bool, stable: bool, max_iters: int):
+    """The in-row hierarchical DDA while-loop shared by kernel B and the
+    megakernel (ops/hako_mega.py): walk the 16^3 row whose per-lane words
+    sit word-major in w_ref/m_ref scratch. Pure code motion out of
+    _make_kernel_b -- the floats are bit-identical.
+
+    Returns (hit, t_hit, nmaj, vr, p3, tqp, more, tqr)."""
+    dtb = [dt[a] * dt_factor for a in range(3)]
+    dcs = [d * 0.25 for d in dtb]     # coarse (4^3-of-cells) dt
+    dcv = [d * 0.0625 for d in dtb]   # fine cell dt
+
+    coarse_lo = m_ref[0]
+    coarse_hi = m_ref[1]
+    base = m_ref[2].astype(I32)
+
+    zi = jnp.zeros_like(vm6)
+    zf = jnp.zeros_like(bt1[0])
+
+    def cond(st):
+        return jnp.any(st[0] != 0) & (st[-1] < max_iters)
+
+    def body(st):
+        active_i, sub_tq, hit_i, t_hit, nmaj, vr, p3, tqp, i = st
+        active = active_i != 0
+        hit = hit_i != 0
+        en_s, ex_s, cs = _walk64(
+            coarse_lo, coarse_hi, vm6, bt1[0], bt1[1], bt1[2],
+            dcs[0], dcs[1], dcs[2], sub_tq, stable=stable,
+        )
+        found_s = active & (cs < 64)
+        s_real = jnp.where(found_s, cs ^ vm6, 0)
+
+        w_lo = _fold_select([w_ref[2 * s] for s in range(64)], s_real, 6)
+        w_hi = _fold_select(
+            [w_ref[2 * s + 1] for s in range(64)], s_real, 6
+        )
+
+        sx, sy, sz = _coords(cs)
+        k4 = jnp.full_like(cs, 4)
+        st1x = _plane(bt1[0], dcs[0], jnp.minimum(sx + 1, k4), stable)
+        st1y = _plane(bt1[1], dcs[1], jnp.minimum(sy + 1, k4), stable)
+        st1z = _plane(bt1[2], dcs[2], jnp.minimum(sz + 1, k4), stable)
+
+        en_v, ex_v, cv = _walk64(
+            w_lo, w_hi, vm6, st1x, st1y, st1z,
+            dcv[0], dcv[1], dcv[2], sub_tq, stable=stable,
+        )
+        found_v = found_s & (cv < 64)
+        # leaf: a voxel behind the origin is skipped (en must be
+        # strictly ahead); emit: any child row whose interval passes
+        # the resume key is the next one to walk
+        is_hit = found_v & (en_v > 0.0) if leaf else found_v
+
+        vx, vy, vz = _coords(cv)
+
+        if leaf and shadow:
+            vrank = zi
+        else:
+            pk = _fold_select(
+                [m_ref[4 + t] for t in range(32)], s_real >> 1, 5
+            )
+            pref = jnp.where(
+                (s_real & 1) == 1, pk >> 16, pk & jnp.uint32(_MASK16)
+            ).astype(I32)
+            within = _pc64_below(w_lo, w_hi, cv ^ vm6)
+            vrank = base + pref + within
+
+        hit = hit | is_hit
+        vr = jnp.where(is_hit, vrank, vr)
+        if leaf:
+            en_xa = _plane(st1x, dcv[0], vx, stable)
+            en_ya = _plane(st1y, dcv[1], vy, stable)
+            nm = jnp.where(
+                en_v == en_xa, 1, jnp.where(en_v == en_ya, 2, 0)
+            )
+            t_hit = jnp.where(is_hit, en_v, t_hit)
+            nmaj = jnp.where(is_hit, nm, nmaj)
+        else:
+            # child-row cell EXIT planes become the bt1 of the next
+            # fat stage (affine from this stage's planes: exact)
+            k4v = jnp.full_like(cv, 4)
+            cp1 = _plane(st1x, dcv[0], jnp.minimum(vx + 1, k4v), stable)
+            cp2 = _plane(st1y, dcv[1], jnp.minimum(vy + 1, k4v), stable)
+            cp3 = _plane(st1z, dcv[2], jnp.minimum(vz + 1, k4v), stable)
+            t_hit = jnp.where(is_hit, cp1, t_hit)
+            nmaj = jnp.where(
+                is_hit, jax.lax.bitcast_convert_type(cp2, I32), nmaj
+            )
+            p3 = jnp.where(is_hit, cp3, p3)
+            tqp = jnp.where(is_hit, sub_tq, tqp)
+
+        skipped = found_v & ~is_hit          # origin-inside voxel
+        no_vox = found_s & ~found_v          # coarse cell had nothing left
+        sub_tq = jnp.where(
+            skipped, ex_v, jnp.where(no_vox, jnp.maximum(sub_tq, ex_s), sub_tq)
+        )
+        active = found_s & ~is_hit
+        return (active.astype(I32), sub_tq, hit.astype(I32), t_hit,
+                nmaj, vr, p3, tqp, i + 1)
+
+    init = (go.astype(I32), tqe0, jnp.zeros_like(vm6),
+            zf + MAX_FLOAT, zi - 1, zi, zf, zf, jnp.int32(0))
+    active, sub_tq, hit, t_hit, nmaj, vr, p3, tqp, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    return hit, t_hit, nmaj, vr, p3, tqp, active, sub_tq
 
 
 def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
@@ -975,105 +1033,13 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
         upv = [sf_ref[0, 3 + a] for a in range(3)]
         _, _, dt, vm6, _ = _ray_preamble(lov, upv, ro, rd, stable)
 
-        dtb = [dt[a] * dt_factor for a in range(3)]
-        dcs = [d * 0.25 for d in dtb]     # coarse (4^3-of-cells) dt
-        dcv = [d * 0.0625 for d in dtb]   # fine cell dt
-
         bt1 = [bt1x_ref[:], bt1y_ref[:], bt1z_ref[:]]
         go = go_ref[:] != 0
-        coarse_lo = m_ref[0]
-        coarse_hi = m_ref[1]
-        base = m_ref[2].astype(I32)
 
-        zi = jnp.zeros_like(vm6)
-        zf = jnp.zeros_like(bt1[0])
-
-        def cond(st):
-            return jnp.any(st[0] != 0) & (st[-1] < max_iters)
-
-        def body(st):
-            active_i, sub_tq, hit_i, t_hit, nmaj, vr, p3, tqp, i = st
-            active = active_i != 0
-            hit = hit_i != 0
-            en_s, ex_s, cs = _walk64(
-                coarse_lo, coarse_hi, vm6, bt1[0], bt1[1], bt1[2],
-                dcs[0], dcs[1], dcs[2], sub_tq, stable=stable,
-            )
-            found_s = active & (cs < 64)
-            s_real = jnp.where(found_s, cs ^ vm6, 0)
-
-            w_lo = _fold_select([w_ref[2 * s] for s in range(64)], s_real, 6)
-            w_hi = _fold_select(
-                [w_ref[2 * s + 1] for s in range(64)], s_real, 6
-            )
-
-            sx, sy, sz = _coords(cs)
-            k4 = jnp.full_like(cs, 4)
-            st1x = _plane(bt1[0], dcs[0], jnp.minimum(sx + 1, k4), stable)
-            st1y = _plane(bt1[1], dcs[1], jnp.minimum(sy + 1, k4), stable)
-            st1z = _plane(bt1[2], dcs[2], jnp.minimum(sz + 1, k4), stable)
-
-            en_v, ex_v, cv = _walk64(
-                w_lo, w_hi, vm6, st1x, st1y, st1z,
-                dcv[0], dcv[1], dcv[2], sub_tq, stable=stable,
-            )
-            found_v = found_s & (cv < 64)
-            # leaf: a voxel behind the origin is skipped (en must be
-            # strictly ahead); emit: any child row whose interval passes
-            # the resume key is the next one to walk
-            is_hit = found_v & (en_v > 0.0) if leaf else found_v
-
-            vx, vy, vz = _coords(cv)
-
-            if leaf and shadow:
-                vrank = zi
-            else:
-                pk = _fold_select(
-                    [m_ref[4 + t] for t in range(32)], s_real >> 1, 5
-                )
-                pref = jnp.where(
-                    (s_real & 1) == 1, pk >> 16, pk & jnp.uint32(_MASK16)
-                ).astype(I32)
-                within = _pc64_below(w_lo, w_hi, cv ^ vm6)
-                vrank = base + pref + within
-
-            hit = hit | is_hit
-            vr = jnp.where(is_hit, vrank, vr)
-            if leaf:
-                en_xa = _plane(st1x, dcv[0], vx, stable)
-                en_ya = _plane(st1y, dcv[1], vy, stable)
-                nm = jnp.where(
-                    en_v == en_xa, 1, jnp.where(en_v == en_ya, 2, 0)
-                )
-                t_hit = jnp.where(is_hit, en_v, t_hit)
-                nmaj = jnp.where(is_hit, nm, nmaj)
-            else:
-                # child-row cell EXIT planes become the bt1 of the next
-                # fat stage (affine from this stage's planes: exact)
-                k4v = jnp.full_like(cv, 4)
-                cp1 = _plane(st1x, dcv[0], jnp.minimum(vx + 1, k4v), stable)
-                cp2 = _plane(st1y, dcv[1], jnp.minimum(vy + 1, k4v), stable)
-                cp3 = _plane(st1z, dcv[2], jnp.minimum(vz + 1, k4v), stable)
-                t_hit = jnp.where(is_hit, cp1, t_hit)
-                nmaj = jnp.where(
-                    is_hit, jax.lax.bitcast_convert_type(cp2, I32), nmaj
-                )
-                p3 = jnp.where(is_hit, cp3, p3)
-                tqp = jnp.where(is_hit, sub_tq, tqp)
-
-            skipped = found_v & ~is_hit          # origin-inside voxel
-            no_vox = found_s & ~found_v          # coarse cell had nothing left
-            sub_tq = jnp.where(
-                skipped, ex_v, jnp.where(no_vox, jnp.maximum(sub_tq, ex_s), sub_tq)
-            )
-            active = found_s & ~is_hit
-            return (active.astype(I32), sub_tq, hit.astype(I32), t_hit,
-                    nmaj, vr, p3, tqp, i + 1)
-
-        init = (go.astype(I32), tqe_ref[:], jnp.zeros_like(vm6),
-                zf + MAX_FLOAT, zi - 1, zi, zf, zf, jnp.int32(0))
-        active, sub_tq, hit, t_hit, nmaj, vr, p3, tqp, _ = jax.lax.while_loop(
-            cond, body, init
+        hit, t_hit, nmaj, vr, p3, tqp, active, sub_tq = _dda_rows(
+            w_ref, m_ref, dt, vm6, bt1, tqe_ref[:], go,
+            dt_factor=dt_factor, shadow=shadow, leaf=leaf,
+            stable=stable, max_iters=max_iters,
         )
 
         hit_ref[:] = hit.astype(I32)

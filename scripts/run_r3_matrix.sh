@@ -7,7 +7,10 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=${LOG:-/tmp/r3_matrix.log}
-for RES in "${@:-1024 256 2048}"; do
+# array default: a quoted "${@:-...}" expands to ONE word when no args are
+# given, which fed RES='1024 256 2048' into sblk_probe's int()
+[ $# -gt 0 ] || set -- 1024 256 2048
+for RES in "$@"; do
   for CELL in "16 0" "16 1" "8 0" "8 1" "4 1"; do
     set -- $CELL
     SBLK=$1 FUSEB=$2 RES=$RES timeout 1200 python scripts/sblk_probe.py \

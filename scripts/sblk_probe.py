@@ -68,6 +68,10 @@ def main():
     kw = dict(knobs)
     kw.pop("vac_pick", None)
     kw.pop("vac_run", None)
+    # force the cell under test: knobs_for_res may carry a TUNED s_blk
+    # kwarg that would silently override the hk.S_BLK patch above and
+    # measure the tuned height in every cell (ADVICE r3)
+    kw["s_blk"] = sblk
     if os.environ.get("FUSEB"):
         kw["fuse_book"] = int(os.environ["FUSEB"])
 

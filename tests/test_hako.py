@@ -43,8 +43,11 @@ def oracle_all(m_u64, dps, ro, rd):
     return t, nm, vi
 
 
-def compare_vs_oracle(tree, m_u64, dps, ro, rd, require_exact=True):
-    t, nm, vi = (np.asarray(x) for x in hako_kernels.intersect_hako(tree, ro, rd))
+def compare_vs_oracle(tree, m_u64, dps, ro, rd, require_exact=True,
+                      intersect=None):
+    if intersect is None:
+        intersect = hako_kernels.intersect_hako
+    t, nm, vi = (np.asarray(x) for x in intersect(tree, ro, rd))
     to, nmo, vio = oracle_all(m_u64, dps, ro, rd)
     hit = t < 1e37
     hito = np.isfinite(to)
@@ -225,36 +228,6 @@ def test_hako_fuse_book_equivalence(grid_res, twob, monkeypatch):
     monkeypatch.setattr(hako_kernels, "TWO_BRICK", twob)
     ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
     monkeypatch.setattr(hako_kernels, "FUSE_BOOK", 1)
-    got = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
-    for r, g in zip(ref, got):
-        np.testing.assert_array_equal(r, g)
-
-
-@pytest.mark.parametrize("grid_res", [256, 2048])
-def test_hako_walkw_equivalence(grid_res, monkeypatch):
-    """The early-exit while_loop walk (SCAN_IMPL='walkw') computes the same
-    slot chain as the unrolled 10-slot walk and must be bit-identical end
-    to end -- including the 2048^3 snode chain, dedup-gather rounds, and
-    two-brick rounds (every walk call site: kernel A probes, the twob
-    second walk, kernel B's coarse+fine DDA walks)."""
-    dps = 1.0 / grid_res
-    if grid_res > 256:
-        base = RNG.integers(0, grid_res // 8, size=(40, 3)).astype(np.uint32) * 8
-        off = RNG.integers(0, 24, size=(50, 40, 3)).astype(np.uint32)
-        c = (base[None, :, :] + off).reshape(-1, 3) % grid_res
-        m = np.unique(morton.np_encode(c[:, 0], c[:, 1], c[:, 2]))
-    else:
-        m = random_voxels(grid_res, 20000)
-    tree = make_tree(m, grid_res, dps)
-    n = 4096
-    ro = RNG.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
-    x, y, z = morton.np_decode(m[RNG.integers(0, len(m), n)])
-    target = (np.stack([x, y, z], -1) + 0.5) * dps
-    rd = (target - ro + RNG.normal(size=(n, 3)) * 0.2).astype(np.float32)
-    monkeypatch.setattr(hako_kernels, "UNIQ", 16)
-    monkeypatch.setattr(hako_kernels, "TWO_BRICK", 0 if grid_res > 256 else 1)
-    ref = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
-    monkeypatch.setattr(hako_kernels, "SCAN_IMPL", "walkw")
     got = [np.asarray(v) for v in hako_kernels.intersect_hako(tree, ro, rd)]
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(r, g)

@@ -106,10 +106,16 @@ def test_sblk_knob_resolution_and_equivalence():
 
     from massivevoxelraytracing_tpu.models import scene
 
-    # the shipped table pins SBLK per resolution (pollution guard: a
-    # 1024^3 call must not leak S_BLK=8 into a later 256^3 call)
-    assert hk.knobs_for_res(1024)["s_blk"] == 8
-    assert hk.knobs_for_res(256)["s_blk"] == 16
+    # SBLK entries in the table must surface as the s_blk static arg
+    # (plumbing assertion on a SYNTHETIC table -- asserting the shipped
+    # winners here made every retune break this test, ADVICE r3)
+    try:
+        saved = hk.TUNED_BY_RES
+        hk.TUNED_BY_RES = {64: dict(SBLK=8), 256: dict(SBLK=16)}
+        assert hk.knobs_for_res(64)["s_blk"] == 8
+        assert hk.knobs_for_res(256)["s_blk"] == 16
+    finally:
+        hk.TUNED_BY_RES = saved
 
     rng = np.random.RandomState(7)
     tri = (rng.rand(40, 3, 3) * 0.8 + 0.1).astype(np.float32)
