@@ -42,6 +42,7 @@ embedded-mask pointers impose (voxCommon.hpp:7-9). 2^24 bricks = 68G voxels.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -59,7 +60,12 @@ def _c(x):
     return jnp.uint32(x)
 
 
-USE_SNODES_ABOVE = 1024  # grids above this get a fat supernode level
+# Grids above this get a fat supernode level. Env-overridable for on-chip
+# A/B: at 1024 the fat path (T=1: root walk only, snode+brick rows both on
+# the DMA-dedup fetch) replaces the top-level node-table gathers, whose
+# one-hot MXU cost is linear in the level's node count -- the very cost
+# that made probes resolution-priced on the non-fat path.
+USE_SNODES_ABOVE = int(os.environ.get("MVRT_SNODES_ABOVE", "1024"))
 
 
 def use_snodes_for(grid_res: int) -> bool:

@@ -70,6 +70,7 @@ MEGA_U = 32          # per-round distinct-row fetch budget per block
 MEGA_S_BLK = 8       # sublane rows per ray block (1024 lanes)
 MEGA_PROBES = 4      # probe descents per round (stragglers loop in-block)
 MEGA_DDA = 24        # DDA iterations per round
+MEGA_CONT = 1        # table-hit continue rounds (brick stage, non-fat path)
 
 # Per-resolution winners (on-chip sweeps; same contract as the legacy
 # TUNED_BY_RES but over the megakernel's 4-knob space). Entries may be
@@ -96,7 +97,7 @@ def mega_knobs(grid_res: int, profile: str = "primary") -> dict:
 
 def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
                      s_blk: int, uniq: int, max_probes: int, max_dda: int,
-                     max_rounds: int, stable: bool):
+                     max_rounds: int, cont: bool, stable: bool):
     n_tabs = T - 1
     S = s_blk
     U = uniq
@@ -115,6 +116,19 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
         t_ref, nmaj_ref, vidx_ref = refs[k:k + 3]
         k += 3
         w_ref, m_ref, wbuf, mbuf, uid_ref, sems = refs[k:k + 6]
+        k += 6
+        nu_ref = snode_bufs = snode_mats = None
+        if cont:
+            nu_ref = refs[k]
+            k += 1
+            nu_ref[0] = jnp.int32(0)  # resident-table entry count
+            if fat:
+                # the snode stage gets its OWN resident table AND row
+                # materialization so the brick-side state survives rounds
+                # (cont + skip-regather need both to persist)
+                snode_bufs = refs[k:k + 5]
+                snode_bufs[4][0] = jnp.int32(0)
+                snode_mats = refs[k + 5:k + 7]
 
         ro = (rox[:], roy[:], roz[:])
         rd = (rdx[:], rdy[:], rdz[:])
@@ -130,92 +144,160 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
         )
 
         def row_stage(hbm_w, hbm_m, leaf, dt_exp, go, child, p1, p2, p3,
-                      tqe):
+                      tqe, use_cont=False, bufs=None, mats=None,
+                      prev_rank=None):
             """Dedup + DMA-fetch the round's distinct rows, re-materialize
             per-lane rows in w_ref/m_ref, run the in-row DDA. Returns
             (_dda_rows outputs, served). Lanes ranked past the U budget
             defer on their kernel-A resume key (tqe), exactly like the
             legacy UNIQ overflow contract.
 
+            use_cont (MEGA_CONT): the U-row table PERSISTS across rounds;
+            when every active lane's row is already resident (coherent
+            tiles advance through the same few bricks), the serial dedup +
+            DMA fetch is skipped entirely and lanes rank by tag match.
+            Results are bit-identical: a resident row has the same content
+            as a re-fetched one, and per-lane resume chains don't depend
+            on which round served them.
+
             Rows ride TWO [1, 128] DMAs (occupancy + padded metadata):
             Mosaic requires in-kernel HBM row slices 128-lane aligned --
             a [1, 164] slice of a (8,128)-tiled memref does not lower."""
+            wb, mb, uidr, sem, nur = (
+                bufs if bufs is not None
+                else (wbuf, mbuf, uid_ref, sems, nu_ref)
+            )
             rem = jnp.where(go, child, INF_ID)
             rank0 = jnp.full_like(child, U)
 
             def dma_w(u, j):
                 return pltpu.make_async_copy(
-                    hbm_w.at[pl.ds(j, 1)], wbuf.at[pl.ds(u, 1)],
-                    sems.at[0, u],
+                    hbm_w.at[pl.ds(j, 1)], wb.at[pl.ds(u, 1)],
+                    sem.at[0, u],
                 )
 
             def dma_m(u, j):
                 return pltpu.make_async_copy(
-                    hbm_m.at[pl.ds(j, 1)], mbuf.at[pl.ds(u, 1)],
-                    sems.at[1, u],
+                    hbm_m.at[pl.ds(j, 1)], mb.at[pl.ds(u, 1)],
+                    sem.at[1, u],
                 )
 
-            def ded_cond(c):
-                return (c[0] < U) & (c[1] < INF_ID)
+            if use_cont:
+                def tag_rank(nu):
+                    """Rank go-lanes by tag match against the resident
+                    table (ids within one fetch are unique)."""
+                    rank = rank0
+                    for u in range(U):
+                        hitu = go & (child == uidr[u]) & (u < nu)
+                        rank = jnp.where(hitu, jnp.int32(u), rank)
+                    return rank
 
-            def ded_body(c):
-                u, m, rem, rank = c
-                uid_ref[u] = m
-                dma_w(u, m).start()
-                dma_m(u, m).start()
-                is_m = rem == m
-                rank = jnp.where(is_m, u, rank)
-                rem = jnp.where(is_m, INF_ID, rem)
-                return u + 1, jnp.min(rem), rem, rank
+                miss = go & (tag_rank(nur[0]) == U)
+                need_fetch = jnp.any(miss)
 
-            m0 = jnp.min(rem)
-            nuniq, _m, _r, rank = jax.lax.while_loop(
-                ded_cond, ded_body, (jnp.int32(0), m0, rem, rank0)
-            )
-            served = go & (rank < U)
+                @pl.when(need_fetch)
+                def _fetch():
+                    def ded_cond(c):
+                        return (c[0] < U) & (c[1] < INF_ID)
 
-            def wait_body(u, _):
-                dma_w(u, uid_ref[u]).wait()
-                dma_m(u, uid_ref[u]).wait()
-                return 0
+                    def ded_body(c):
+                        u, m, rem = c
+                        uidr[u] = m
+                        dma_w(u, m).start()
+                        dma_m(u, m).start()
+                        rem = jnp.where(rem == m, INF_ID, rem)
+                        return u + 1, jnp.min(rem), rem
 
-            jax.lax.fori_loop(0, nuniq, wait_body, 0)
+                    nuniq, _m, _r = jax.lax.while_loop(
+                        ded_cond, ded_body, (jnp.int32(0), jnp.min(rem), rem)
+                    )
+                    nur[0] = nuniq
 
-            # byte-split one-hot MXU regather: [words, U] planes x
-            # [U, lanes] (exact: every product is one 0/1 x <=255 term)
-            rows_wt = wbuf[:].T   # [128, U]
-            rows_mt = mbuf[:].T[:64]  # meta needs 36 rows; 64 = tile-round
-            rk = rank.reshape(1, S * 128)
-            oh = (
-                jax.lax.broadcasted_iota(I32, (U, S * 128), 0) == rk
-            ).astype(jnp.bfloat16)
+                    def wait_body(u, _):
+                        dma_w(u, uidr[u]).wait()
+                        dma_m(u, uidr[u]).wait()
+                        return 0
 
-            def regather(rows_t):
-                acc = None
-                for b in range(4):
-                    # Mosaic has no u32->bf16 cast; hop u32 -> i32 -> f32
-                    # -> bf16 (all values <= 255, exact at every step)
-                    pb = ((rows_t >> jnp.uint32(8 * b)) & jnp.uint32(0xFF)
-                          ).astype(I32).astype(jnp.float32).astype(
-                              jnp.bfloat16)
-                    v = jnp.dot(
-                        pb, oh, preferred_element_type=jnp.float32
-                    ).astype(jnp.int32).astype(jnp.uint32) << (8 * b)
-                    acc = v if acc is None else acc | v
-                return acc
+                    jax.lax.fori_loop(0, nuniq, wait_body, 0)
 
-            w_ref[:, :, :] = regather(rows_wt).reshape(128, S, 128)
-            n_meta = BRICK_WORDS - 128
-            m_ref[:, :, :] = regather(rows_mt)[:n_meta].reshape(
-                n_meta, S, 128)
+                rank = tag_rank(nur[0])
+                served = go & (rank < U)
+            else:
+                def ded_cond(c):
+                    return (c[0] < U) & (c[1] < INF_ID)
+
+                def ded_body(c):
+                    u, m, rem, rank = c
+                    uidr[u] = m
+                    dma_w(u, m).start()
+                    dma_m(u, m).start()
+                    is_m = rem == m
+                    rank = jnp.where(is_m, u, rank)
+                    rem = jnp.where(is_m, INF_ID, rem)
+                    return u + 1, jnp.min(rem), rem, rank
+
+                m0 = jnp.min(rem)
+                nuniq, _m, _r, rank = jax.lax.while_loop(
+                    ded_cond, ded_body, (jnp.int32(0), m0, rem, rank0)
+                )
+                served = go & (rank < U)
+
+                def wait_body(u, _):
+                    dma_w(u, uidr[u]).wait()
+                    dma_m(u, uidr[u]).wait()
+                    return 0
+
+                jax.lax.fori_loop(0, nuniq, wait_body, 0)
+
+            wr, mr = (w_ref, m_ref) if mats is None else mats
+
+            def do_regather():
+                # byte-split one-hot MXU regather: [words, U] planes x
+                # [U, lanes] (exact: every product is one 0/1 x <=255 term)
+                rows_wt = wb[:].T   # [128, U]
+                rows_mt = mb[:].T[:64]  # meta needs 36 rows; 64 = tile-rnd
+                rk = rank.reshape(1, S * 128)
+                oh = (
+                    jax.lax.broadcasted_iota(I32, (U, S * 128), 0) == rk
+                ).astype(jnp.bfloat16)
+
+                def regather(rows_t):
+                    acc = None
+                    for b in range(4):
+                        # Mosaic has no u32->bf16 cast; hop u32 -> i32 ->
+                        # f32 -> bf16 (values <= 255, exact at every step)
+                        pb = ((rows_t >> jnp.uint32(8 * b))
+                              & jnp.uint32(0xFF)
+                              ).astype(I32).astype(jnp.float32).astype(
+                                  jnp.bfloat16)
+                        v = jnp.dot(
+                            pb, oh, preferred_element_type=jnp.float32
+                        ).astype(jnp.int32).astype(jnp.uint32) << (8 * b)
+                        acc = v if acc is None else acc | v
+                    return acc
+
+                wr[:, :, :] = regather(rows_wt).reshape(128, S, 128)
+                n_meta = BRICK_WORDS - 128
+                mr[:, :, :] = regather(rows_mt)[:n_meta].reshape(
+                    n_meta, S, 128)
+
+            if use_cont and prev_rank is not None:
+                # skip-regather: if nothing was fetched and no SERVED
+                # lane's rank moved since last round, wr/mr already hold
+                # every served lane's row (unserved lanes' rows are stale
+                # but unread -- _dda_rows masks by `served`)
+                changed = need_fetch | jnp.any(served & (rank != prev_rank))
+                pl.when(changed)(do_regather)
+            else:
+                do_regather()
 
             outs = _stable(_dda_rows(
-                w_ref, m_ref, dt, vm6,
+                wr, mr, dt, vm6,
                 list(_stable((p1, p2, p3), stable)), tqe, served,
                 dt_factor=0.25 ** dt_exp, shadow=shadow, leaf=leaf,
                 stable=stable, max_iters=max_dda,
             ), stable)
-            return outs, served.astype(I32)
+            return outs, served.astype(I32), rank
 
         zf = jnp.zeros_like(t1[0])
         zi = jnp.zeros_like(vm6)
@@ -225,7 +307,7 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
             return jnp.any(st[1] == 0) & (st[0] < max_rounds)
 
         def round_body(st):
-            rnd, resolved, t_q, t_out, nm_out, vi_out = st
+            rnd, resolved, t_q, t_out, nm_out, vi_out, pr_s, pr_b = st
             act = resolved == 0
 
             # In interpret mode, pin the stage-boundary values the way the
@@ -245,9 +327,11 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
                 # stage 1: supernode row walk emits the next BRICK + planes
                 go_s = emit != 0
                 (emit2, bp1, bp2i, brick, bp3, btq, more_s,
-                 tqr_s), served1 = row_stage(
+                 tqr_s), served1, pr_s = row_stage(
                     snodes_w, snodes_m, False, T, go_s, child,
-                    bt1x, bt1y, bt1z, tqe)
+                    bt1x, bt1y, bt1z, tqe,
+                    use_cont=cont, bufs=snode_bufs, mats=snode_mats,
+                    prev_rank=pr_s if cont else None)
                 bp2f = jax.lax.bitcast_convert_type(bp2i, jnp.float32)
                 tqn = jnp.where(
                     go_s & (served1 == 0),
@@ -265,9 +349,10 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
                 child = brick
 
             go = emit != 0
-            (hit, t_hit, nmaj, vr, _p3, _tqp, more, tqr), served2 = (
+            (hit, t_hit, nmaj, vr, _p3, _tqp, more, tqr), served2, pr_b = (
                 row_stage(bricks_w, bricks_m, True, T + 2 if fat else T,
-                          go, child, bt1x, bt1y, bt1z, tqe)
+                          go, child, bt1x, bt1y, bt1z, tqe, use_cont=cont,
+                          prev_rank=pr_b if cont else None)
             )
 
             # merge (same expressions as hako_kernels._make_merge_kernel)
@@ -288,7 +373,8 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
             t_out = jnp.where(newhit, t_hit, t_out)
             nm_out = jnp.where(newhit, nmaj, nm_out)
             vi_out = jnp.where(newhit, vr, vi_out)
-            return rnd + 1, resolved, t_q, t_out, nm_out, vi_out
+            return (rnd + 1, resolved, t_q, t_out, nm_out, vi_out,
+                    pr_s, pr_b)
 
         st0 = (
             jnp.int32(0),
@@ -297,8 +383,10 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
             zf + MAX_FLOAT,
             zi - 1,
             zi,
+            zi - 1,  # snode-stage prev ranks (-1 = nothing resident)
+            zi - 1,  # brick-stage prev ranks
         )
-        _, _, _, t_out, nm_out, vi_out = jax.lax.while_loop(
+        _, _, _, t_out, nm_out, vi_out, _, _ = jax.lax.while_loop(
             round_cond, round_body, st0
         )
         t_ref[:] = t_out
@@ -312,14 +400,14 @@ def _make_megakernel(T: int, level_rows: tuple, *, fat: bool, shadow: bool,
     jax.jit,
     static_argnames=(
         "T", "level_rows", "shadow", "s_blk", "uniq", "max_probes",
-        "max_dda", "max_rounds", "interpret",
+        "max_dda", "max_rounds", "cont", "interpret",
     ),
 )
 def _intersect_mega(
     bricks, snodes, tabs, scal_i, lower, upper, ro, rd, *,
     T: int, level_rows: tuple, shadow: bool,
     s_blk: int, uniq: int, max_probes: int, max_dda: int,
-    max_rounds: int, interpret: bool,
+    max_rounds: int, cont: bool, interpret: bool,
 ):
     S = s_blk
     RB = S * 128
@@ -346,11 +434,12 @@ def _intersect_mega(
         hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     tab_specs = [tab_spec(f) for f in level_rows]
 
+    cont = bool(cont)
     shape = (nb * S, 128)
     kernel = _make_megakernel(
         T, level_rows, fat=fat, shadow=shadow, s_blk=S, uniq=uniq,
         max_probes=max_probes, max_dda=max_dda, max_rounds=max_rounds,
-        stable=interpret,
+        cont=cont, stable=interpret,
     )
     row_tabs = bricks if not fat else bricks + snodes  # (w, m) pairs
     out = pl.pallas_call(
@@ -373,7 +462,16 @@ def _intersect_mega(
             pltpu.VMEM((uniq, 128), U32),              # mbuf
             pltpu.SMEM((uniq,), I32),                  # uid_ref
             pltpu.SemaphoreType.DMA((2, uniq)),
-        ],
+        ] + ([pltpu.SMEM((1,), I32)] if cont else [])  # nu_ref
+        + ([
+            pltpu.VMEM((uniq, 128), U32),              # snode wbuf
+            pltpu.VMEM((uniq, 128), U32),              # snode mbuf
+            pltpu.SMEM((uniq,), I32),                  # snode uid_ref
+            pltpu.SemaphoreType.DMA((2, uniq)),
+            pltpu.SMEM((1,), I32),                     # snode nu_ref
+            pltpu.VMEM((128, S, 128), U32),            # snode w mat
+            pltpu.VMEM((BRICK_WORDS - 128, S, 128), U32),  # snode m mat
+        ] if (cont and fat) else []),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(scal_i, sf, *tabs, *row_tabs, *rays)
@@ -397,7 +495,7 @@ def intersect_rays_hako_mega(
     interpret: bool | None = None,
     uniq: int | None = None, s_blk: int | None = None,
     max_probes: int | None = None, max_dda: int | None = None,
-    max_rounds: int | None = None,
+    max_rounds: int | None = None, cont: int | None = None,
 ):
     """Full-frame megakernel traversal; pads the ray count to a block
     multiple. bricks/snodes are (w [N, 128], m [N, 128]) pairs from
@@ -408,6 +506,7 @@ def intersect_rays_hako_mega(
     uniq = MEGA_U if uniq is None else int(uniq)
     max_probes = MEGA_PROBES if max_probes is None else int(max_probes)
     max_dda = MEGA_DDA if max_dda is None else int(max_dda)
+    cont = MEGA_CONT if cont is None else int(cont)
     RB = s_blk * 128
     R = ro.shape[0]
     rpad = -(-R // RB) * RB
@@ -423,7 +522,7 @@ def intersect_rays_hako_mega(
         bricks, snodes, tabs, scal_i, lower, upper, ro, rd,
         T=T, level_rows=level_rows, shadow=shadow,
         s_blk=s_blk, uniq=uniq, max_probes=max_probes, max_dda=max_dda,
-        max_rounds=int(max_rounds), interpret=interpret,
+        max_rounds=int(max_rounds), cont=bool(cont), interpret=interpret,
     )
     return t[:R], nmaj[:R], vidx[:R]
 

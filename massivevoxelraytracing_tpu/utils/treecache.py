@@ -23,7 +23,16 @@ SCENE_TAG = "lat64"
 
 
 def cache_path(grid_res: int, cache_dir: str = "/tmp") -> str:
-    return os.path.join(cache_dir, f"hako_tree_{SCENE_TAG}_{grid_res}.npz")
+    from ..ops import hako
+
+    # the snode threshold (MVRT_SNODES_ABOVE / USE_SNODES_ABOVE) changes
+    # the tree layout: key the cache on this resolution's ACTUAL layout
+    # (suffix only when it differs from the historical >1024 default, so
+    # existing cache files keep their names)
+    fat = "_fat" if hako.use_snodes_for(grid_res) != (grid_res > 1024) else ""
+    return os.path.join(
+        cache_dir, f"hako_tree_{SCENE_TAG}_{grid_res}{fat}.npz"
+    )
 
 
 def save_hako(tree, path: str) -> None:

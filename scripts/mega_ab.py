@@ -49,7 +49,8 @@ def main():
     iters = int(os.environ.get("AB_ITERS", 3))
     mega_kw = {}
     for env, kw in (("MEGA_U", "uniq"), ("MEGA_SBLK", "s_blk"),
-                    ("MEGA_PROBES", "max_probes"), ("MEGA_DDA", "max_dda")):
+                    ("MEGA_PROBES", "max_probes"), ("MEGA_DDA", "max_dda"),
+                    ("MEGA_CONT", "cont")):
         if os.environ.get(env):
             mega_kw[kw] = int(os.environ[env])
 

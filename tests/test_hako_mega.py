@@ -125,6 +125,29 @@ def test_mega_uniq_overflow_defers_bit_exact():
     np.testing.assert_array_equal(vi0, vi1)
 
 
+def test_mega_cont_rounds_bit_exact():
+    """MEGA_CONT (table-hit continue rounds: the U-row table persists
+    across rounds; fetch-free rounds rank by tag match) must change
+    scheduling only, never results -- including under a tiny U budget
+    where continue and overflow-deferral rounds interleave."""
+    grid_res = 256
+    m = random_voxels(grid_res, 6000)
+    tree = make_tree(m, grid_res, 1.0 / grid_res)
+    ro, rd = mixed_rays(m, grid_res, 512)
+    base = [
+        np.asarray(x)
+        for x in hako_mega.intersect_hako_mega(tree, ro, rd, cont=0)
+    ]
+    for kw in ({"cont": 1}, {"cont": 1, "uniq": 4},
+               {"cont": 1, "max_probes": 1, "max_dda": 2}):
+        got = [
+            np.asarray(x)
+            for x in hako_mega.intersect_hako_mega(tree, ro, rd, **kw)
+        ]
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_mega_capped_resume_bit_exact():
     """Forced 1-probe / 1-DDA-iteration caps exercise every t-resume path
     and must not change results (more rounds, same traversal)."""
@@ -160,6 +183,30 @@ def test_mega_shadow_any_hit():
     )
 
 
+def test_mega_fat_t1(monkeypatch):
+    """Fat tree with T=1 (the MVRT_SNODES_ABOVE=512 shape a 1024^3 scene
+    takes): the probe is a single root walk -- no level tables at all --
+    and both row stages ride the DMA-dedup fetch. Checked vs legacy and
+    with cont on/off."""
+    from massivevoxelraytracing_tpu.ops import hako as hako_mod
+
+    monkeypatch.setattr(hako_mod, "USE_SNODES_ABOVE", 128)
+    grid_res = 512
+    m = random_voxels(grid_res, 8000)
+    tree = make_tree(m, grid_res, 1.0 / grid_res)
+    assert tree.snodes is not None and tree.T == 1 and not tree.levels
+    ro, rd = mixed_rays(m, grid_res, 512)
+    t1, nm1, vi1 = assert_matches_legacy(tree, ro, rd)
+    for kw in ({"cont": 0}, {"cont": 1, "uniq": 4}):
+        tc, nmc, vic = (
+            np.asarray(x)
+            for x in hako_mega.intersect_hako_mega(tree, ro, rd, **kw)
+        )
+        np.testing.assert_array_equal(t1, tc)
+        np.testing.assert_array_equal(nm1, nmc)
+        np.testing.assert_array_equal(vi1, vic)
+
+
 def test_mega_snode_chain():
     """2048^3 tree (supernode fat path): two chained in-kernel row stages
     per round, both riding the DMA dedup fetch."""
@@ -191,3 +238,12 @@ def test_mega_snode_chain():
     )
     np.testing.assert_array_equal(t0, t1)
     np.testing.assert_array_equal(vi0, vi1)
+    # fat-path cont: the snode stage rides its OWN resident table
+    for kw in ({"cont": 1}, {"cont": 1, "uniq": 4}):
+        tc, nmc, vic = (
+            np.asarray(x)
+            for x in hako_mega.intersect_hako_mega(tree, ro, rd, **kw)
+        )
+        np.testing.assert_array_equal(t1, tc)
+        np.testing.assert_array_equal(nm1, nmc)
+        np.testing.assert_array_equal(vi1, vic)
