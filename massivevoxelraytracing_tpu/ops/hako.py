@@ -60,12 +60,15 @@ def _c(x):
     return jnp.uint32(x)
 
 
-# Grids above this get a fat supernode level. Env-overridable for on-chip
-# A/B: at 1024 the fat path (T=1: root walk only, snode+brick rows both on
-# the DMA-dedup fetch) replaces the top-level node-table gathers, whose
-# one-hot MXU cost is linear in the level's node count -- the very cost
-# that made probes resolution-priced on the non-fat path.
-USE_SNODES_ABOVE = int(os.environ.get("MVRT_SNODES_ABOVE", "1024"))
+# Grids above this get a fat supernode level. Default 512 since round 4:
+# at 1024 the fat layout (T=1: the probe is a single root-mask walk;
+# snode+brick rows both ride the megakernel's DMA-dedup fetch) replaces
+# the top-level node-table gathers, whose one-hot MXU cost is linear in
+# the level's node count -- measured 1.93x at 1024^3 (371.7 -> 192.5 ms
+# full-frame 1080p on the canonical lattice, 2026-08-21). 256 stays
+# non-fat: its only level table is a 64-node SMEM fold (already cheap).
+# Env-overridable for A/B.
+USE_SNODES_ABOVE = int(os.environ.get("MVRT_SNODES_ABOVE", "512"))
 
 
 def use_snodes_for(grid_res: int) -> bool:

@@ -98,10 +98,14 @@ def test_hako_matches_brute_force(grid_res):
     assert hit.any() and (~hit).any()
 
 
-def test_hako_taa_levels_match_brute_force():
+def test_hako_taa_levels_match_brute_force(monkeypatch):
     """1024^3 tree with mid levels in the (48,128) taa table format (the
     per-row lane-gather fetch path); 64^3/256^3 trees only exercise the
-    SMEM fold path."""
+    SMEM fold path. Pins the round-3 snode threshold: since round 4 the
+    default builds 1024 as a fat T=1 tree (no taa level to cover)."""
+    from massivevoxelraytracing_tpu.ops import hako as hako_mod
+
+    monkeypatch.setattr(hako_mod, "USE_SNODES_ABOVE", 1024)
     grid_res = 1024
     dps = 1.0 / grid_res
     m = random_voxels(grid_res, 1500)
