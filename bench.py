@@ -25,6 +25,11 @@ Environment knobs:
   MVRT_BENCH_SCENE lattice (default) | sphere (round-1's weak stand-in)
   MVRT_BENCH_PT    0 disables the path-traced stage (default on)
   MVRT_BENCH_PT_ITERS timed PT steps after the warm step (default 2)
+  MVRT_BENCH_BUILD 0 disables the rebuild stage (default on): one cold +
+                   one warm scene rebuild of the same lattice mesh,
+                   reported as build_ms (warm; the per-frame rebuild cost
+                   rtcamp pays -- reference: 135 ms voxelize+build @41M
+                   voxels, IntersectorOctreeGPU.hpp:40-241, slide 67)
 """
 
 import json
@@ -134,6 +139,12 @@ def main():
             pt_fields = pt_stage(tree, cam, width, height, grid_res)
         except Exception as e:  # the primary JSON line must still print
             pt_fields = {"pt_error": f"{type(e).__name__}: {str(e)[:160]}"}
+    if (os.environ.get("MVRT_BENCH_BUILD", "0" if on_cpu else "1") != "0"
+            and scene_kind == "lattice"):
+        try:
+            pt_fields.update(build_stage(tri, cols, dps, grid_res, chunk))
+        except Exception as e:
+            pt_fields["build_error"] = f"{type(e).__name__}: {str(e)[:160]}"
     print(
         json.dumps(
             {
@@ -153,6 +164,42 @@ def main():
             }
         )
     )
+
+
+def build_stage(tri, cols, dps, grid_res, chunk):
+    """Cold + warm scene rebuild of the bench lattice mesh (per-frame
+    rebuild cost; VERDICT r4 item 3). The warm build is what an animated
+    frame pays: jit compiles (or .jax_cache loads) are all charged to the
+    cold build. The mesh is jittered so no result can be cached."""
+    from massivevoxelraytracing_tpu.models import scene as scene_mod
+
+    times = []
+    stats = None
+    for i in range(2):
+        jitter = np.float32(1e-4) * np.float32(i)
+        t0 = time.time()
+        tree = scene_mod.build_scene(
+            tri + jitter, cols, origin=np.zeros(3, np.float32), dps=dps,
+            grid_res=grid_res, accel="hako", chunk_tris=chunk,
+        )
+        times.append(time.time() - t0)
+        stats = tree.build_stats
+    sys.stderr.write(
+        f"[bench-build] res={grid_res} tris={stats['n_triangles']/1e6:.2f}M "
+        f"cold={times[0]:.1f}s warm={times[1]:.2f}s "
+        f"(split={stats['t_split_s']:.2f} count={stats['t_count_s']:.2f} "
+        f"unique={stats['t_unique_s']:.2f} accel={stats['t_accel_s']:.2f})\n"
+    )
+    return {
+        "build_ms": round(times[1] * 1e3, 1),
+        "build_cold_s": round(times[0], 1),
+        "build_metric": (
+            f"warm full scene rebuild @{grid_res}^3 lattice "
+            f"({stats['n_triangles']/1e6:.2f}M tris -> "
+            f"{stats['n_unique']/1e6:.1f}M voxels; reference: 135 ms "
+            f"@41M voxels)"
+        ),
+    }
 
 
 def pt_stage(tree, cam, width, height, grid_res):

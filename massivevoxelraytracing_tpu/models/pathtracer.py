@@ -60,7 +60,7 @@ def _ckpt_path(path: str) -> str:
     static_argnames=(
         "width", "pix_packet", "n_spp",
         "accel_kind", "stack_depth", "has_emission", "hdri_enabled",
-        "extra_implicit", "max_bounces", "use_pmj",
+        "extra_implicit", "max_bounces", "use_pmj", "use_compact",
     ),
 )
 def pt_sample(
@@ -96,6 +96,7 @@ def pt_sample(
     extra_implicit: bool,
     max_bounces: int = MAX_BOUNCES,
     use_pmj: bool = True,
+    use_compact: bool = True,
 ):
     """Path-traced samples for (pixel, spp) lanes generated ON DEVICE from
     two scalars (pix_start, spp_base): lane r = s * pix_packet + p covers
@@ -183,7 +184,10 @@ def pt_sample(
     # every per-lane quantity (PMJ stream/spp, throughput, radiance) rides
     # along, so the result is bit-identical to the unpermuted loop; one
     # scatter at the end restores original lane order.
-    compact = use_pmj and R >= COMPACT_MIN_LANES
+    # use_compact arrives resolved from PathTracer.step (auto: on above
+    # COMPACT_MIN_LANES); compaction is a pure permutation, so on/off is
+    # bit-identical -- the static arg exists for on-chip A/B timing
+    compact = use_compact and use_pmj and R >= COMPACT_MIN_LANES
     orig = jnp.arange(R, dtype=jnp.uint32)
 
     def _bits(x):
@@ -342,6 +346,7 @@ class PathTracer:
     max_bounces: int = MAX_BOUNCES
     n_batch_spp: int = N_BATCH_SPP
     use_pmj: bool = True
+    compact: bool | None = None  # None = auto (on above COMPACT_MIN_LANES)
 
     def setup(self):
         if self.pmj_table is None:
@@ -418,6 +423,8 @@ class PathTracer:
                 extra_implicit=True,
                 max_bounces=self.max_bounces,
                 use_pmj=self.use_pmj,
+                use_compact=(True if self.compact is None
+                             else bool(self.compact)),
             )
             parts.append(li.reshape(n_spp, pix_packet, 3).sum(0))
         radiance = jnp.concatenate(parts)[:n]

@@ -72,7 +72,13 @@ USE_SNODES_ABOVE = int(os.environ.get("MVRT_SNODES_ABOVE", "512"))
 
 
 def use_snodes_for(grid_res: int) -> bool:
-    return grid_res > USE_SNODES_ABOVE
+    # re-read the env var per call (ADVICE r4: the import-time read above
+    # silently ignored in-process overrides set after import, e.g. sweeps).
+    # Tests monkeypatch USE_SNODES_ABOVE directly and don't set the env
+    # var, so the module attr stays the fallback.
+    ov = os.environ.get("MVRT_SNODES_ABOVE")
+    thr = int(ov) if ov is not None else USE_SNODES_ABOVE
+    return grid_res > thr
 
 
 def top_levels_for(grid_res: int) -> int:

@@ -53,17 +53,15 @@ from .bits import I32, U32
 MAX_FLOAT = 3.402823466e38  # python float: jnp scalars get captured as consts in kernels
 from .hako import BRICK_WORDS, N_TAB_SEG, HakoTree
 
-S_BLK = 16                 # sublane rows per ray block (live value; the
-                           # tunable knob is SBLK below -- intersect_rays_hako
-                           # installs the resolved value here at trace time).
-                           # LEAK WARNING (ADVICE r3): every
-                           # intersect_rays_hako call mutates S_BLK/RB to its
-                           # per-resolution value; code reading hk.S_BLK/hk.RB
-                           # directly afterwards (hand-built kernels in
-                           # scripts/) inherits the LAST CALLER's value, and
-                           # the mutation is not thread-safe across
-                           # concurrent traces. Always pass the s_blk kwarg.
-RB = S_BLK * 128           # 2048 rays per grid step
+S_BLK = 16                 # DEFAULT sublane rows per ray block (the tunable
+                           # knob is SBLK below). The driver path threads the
+                           # resolved per-resolution value through an s_blk
+                           # parameter and never mutates these globals
+                           # (round 5; closes the ADVICE-r3 leak) -- they only
+                           # serve as the default when s_blk is not passed,
+                           # so hand-built kernels in scripts/ that patch
+                           # hk.S_BLK/hk.RB before building keep working.
+RB = S_BLK * 128           # 2048 rays per grid step (default S_BLK)
 SBLK = 16                  # per-res tunable ray-block height (8 or 16): the
                            # block-cap ladder retires work at BLOCK
                            # granularity, and most rounds run lanes at 1-36%
@@ -191,9 +189,16 @@ TUNED_BY_RES = {
 # while VAC_PICK bites hardest there (scripts/act_stats.py). Entries here
 # override TUNED_BY_RES for knobs_for_res(profile="pt"); explicit module
 # -attr overrides (sweeps, env) still win over both tables.
-# TUNED_PT_BY_RES_BEGIN (values from the PT stages of sweep_r2.log)
+# TUNED_PT_BY_RES_BEGIN
 TUNED_PT_BY_RES = {
-    256: dict(CAP_DIV=8, MAX_DDA_ITERS=24, MAX_PROBES=4, PACK_DIV=2, TWO_BRICK=0, UNIQ=0, VAC_PICK=64, VAC_RUN=2),  # 0.998 s/step (sweep-applied)
+    # EMPTIED round 5: the r2-swept 256^3 entry (CAP_DIV=8, PACK_DIV=2,
+    # VAC_PICK=64, ...; 0.998 s/step) was measured on the legacy on-chip
+    # PT path later found to render geometry pixels at zero radiance
+    # (docs/STATUS.md round-4 note) -- its timings reflect a different
+    # wavefront activity pattern than a correct render produces, so the
+    # whole table is untrusted. Re-populate only from sweeps on a
+    # correctness-verified path (the megakernel's tables live in
+    # hako_mega.MEGA_TUNED_PT).
 }
 # TUNED_PT_BY_RES_END
 
@@ -957,9 +962,20 @@ def _dda_rows(w_ref, m_ref, dt, vm6, bt1, tqe0, go, *, dt_factor: float,
     return hit, t_hit, nmaj, vr, p3, tqp, active, sub_tq
 
 
+def _resolve_sblk(s_blk):
+    """(S_BLK, RB) for this build: explicit arg wins, else the module
+    defaults (so scripts that patch hk.S_BLK before hand-building kernels
+    keep working). Callers bind the result to LOCALS named S_BLK/RB,
+    shadowing the globals for every read and nested closure below --
+    no module state is ever mutated on the driver path."""
+    v = int(s_blk) if s_blk else S_BLK
+    return v, v * 128
+
+
 def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
                    max_iters: int | None = None, leaf: bool = True,
-                   dedup_u: int = 0, fused: bool = False):
+                   dedup_u: int = 0, fused: bool = False,
+                   s_blk: int | None = None):
     """leaf=True: walk a 16^3-VOXEL brick, report the first voxel hit.
     leaf=False: walk a 16^3-BRICK supernode row (same layout), EMIT the
     first brick whose interval passes the resume key -- outputs mirror
@@ -971,6 +987,7 @@ def _make_kernel_b(T: int, shadow: bool, stable: bool = False,
     the extra pallas input blocks cost more than the saved XLA pass.)"""
     if max_iters is None:
         max_iters = MAX_DDA_ITERS  # read at build time so tests can patch it
+    S_BLK, RB = _resolve_sblk(s_blk)  # locals shadow the globals (see helper)
     dt_factor = 0.25 ** T  # fat-row extent / root extent per axis
 
     def kernel(*toprefs):
@@ -1141,7 +1158,7 @@ def _make_round(
     nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
     interpret: bool, pack_div: int, uniq: int,
     max_probes: int, max_dda: int, two_brick: bool = False,
-    run_cap: int | None = None,
+    run_cap: int | None = None, s_blk: int | None = None,
 ):
     """Builds one traversal-round function over BLOCK-compacted state.
 
@@ -1163,6 +1180,7 @@ def _make_round(
     dense prefix; a second sort by original lane position unpermutes.
     Active lanes ranked past the prefix defer with their state untouched.
     """
+    S_BLK, RB = _resolve_sblk(s_blk)  # locals shadow the globals (see helper)
     rcap = run_cap if (run_cap is not None and run_cap < cap) else cap
     vac = rcap < cap
     grid = rcap
@@ -1233,7 +1251,7 @@ def _make_round(
         )
         return pl.pallas_call(
             _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf,
-                           dedup_u=uniq, max_iters=max_dda),
+                           dedup_u=uniq, max_iters=max_dda, s_blk=S_BLK),
             grid=(bcap,),
             in_specs=[smem] + row_specs + [vblk] * 11,
             scratch_shapes=[
@@ -1615,7 +1633,7 @@ def _make_round_fused(
     bricks, snodes, tabs, scal_i, sf, rays_s, *,
     nb: int, cap: int, T: int, level_rows: tuple, shadow: bool,
     interpret: bool, uniq: int, max_probes: int, max_dda: int,
-    two_brick: bool = False,
+    two_brick: bool = False, s_blk: int | None = None,
 ):
     """FUSE_BOOK round: the same traversal round as _make_round with
     pack_div=1/uniq>0/no vacuum, but with the XLA pick/put bookkeeping
@@ -1632,6 +1650,7 @@ def _make_round_fused(
     views. Bit-identical to the unfused round by construction: the same
     jnp expressions run on the same values, only their residence moved
     (tests/test_hako.py::test_hako_fuse_book_equivalence)."""
+    S_BLK, RB = _resolve_sblk(s_blk)  # locals shadow the globals (see helper)
     s2 = cap * S_BLK
     shape = (s2, 128)
     smem = pl.BlockSpec((1, 8), _rep, memory_space=pltpu.SMEM)
@@ -1680,7 +1699,8 @@ def _make_round_fused(
     def make_b(dt_exp, leaf):
         return pl.pallas_call(
             _make_kernel_b(dt_exp, shadow, stable=interpret, leaf=leaf,
-                           dedup_u=uniq, max_iters=max_dda, fused=True),
+                           dedup_u=uniq, max_iters=max_dda, fused=True,
+                           s_blk=S_BLK),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(cap,),
@@ -1861,7 +1881,8 @@ def _make_round_fused(
     return body
 
 
-def _init_state(nb):
+def _init_state(nb, s_blk=None):
+    S_BLK, RB = _resolve_sblk(s_blk)
     z = jnp.zeros((nb, RB), I32)
     return (
         jnp.int32(0), z, jnp.zeros((nb, RB), jnp.float32),
@@ -1870,11 +1891,12 @@ def _init_state(nb):
 
 
 def _driver_setup(ro, rd, lower, upper, cap, max_rounds, uniq,
-                  vac_pick, vac_run, nb):
+                  vac_pick, vac_run, nb, s_blk=None):
     """Shared preamble of the jitted and eager drivers (round budget,
     blocked ray state, scene floats, vacuum clamps) -- ONE copy, so the
     two drivers cannot drift (they must stay bit-identical,
     tests/test_hako.py::test_hako_jitted_ladder_matches_eager)."""
+    S_BLK, RB = _resolve_sblk(s_blk)
     if max_rounds is None:
         # every block needs ~(brick visits per lane) picks; narrow caps
         # (the 2048^3 optimum is nb/64) need proportionally more rounds --
@@ -1902,24 +1924,17 @@ def _driver_setup(ro, rd, lower, upper, cap, max_rounds, uniq,
     return max_rounds, rays_b, sf, vacp, vacr
 
 
-def _install_s_blk(s_blk: int):
-    """Set the live block height (kernel-make functions and the drivers
-    read the S_BLK/RB module globals at trace/build time)."""
-    global S_BLK, RB
-    S_BLK = int(s_blk)
-    RB = S_BLK * 128
-
-
 def _fuse_ok(fuse_book, uniq, pack_div, vac_pick):
     """FUSE_BOOK requires the straight-line round shape: per-block dedup
     (uniq>0) with no lane permutation (pack_div=1, no vacuum rung)."""
     return bool(fuse_book) and uniq > 0 and pack_div == 1 and not vac_pick
 
 
-def _init_state_fused(nb):
+def _init_state_fused(nb, s_blk=None):
     """Fused state carries ONE SPARE BLOCK (index nb): underfull rounds
     point fill slots there so a fill write can never clobber a genuine
     block. The spare starts resolved=1 (never picked, never counted)."""
+    S_BLK, RB = _resolve_sblk(s_blk)
     z = jnp.zeros((nb + 1, RB), I32)
     resolved = z.at[nb].set(1)
     return (
@@ -1931,11 +1946,12 @@ def _init_state_fused(nb):
 def _run_rungs_fused(
     bricks, snodes, tabs, scal_i, sf, rays_b, *,
     nb, cap, max_rounds, T, level_rows, shadow, interpret,
-    uniq, max_probes, max_dda, two_brick,
+    uniq, max_probes, max_dda, two_brick, s_blk=None,
 ):
     """The cap ladder driven through _make_round_fused. Shared by the
     jitted and eager drivers (identical rung arithmetic to the legacy
     ladder; the vacuum rung never applies -- _fuse_ok excludes it)."""
+    S_BLK, RB = _resolve_sblk(s_blk)
     # spare ray block: origin far outside the root AABB (misses), rd=1
     rays_p = [
         jnp.concatenate([x, jnp.full((1, RB), fill, x.dtype)])
@@ -1947,13 +1963,14 @@ def _run_rungs_fused(
         ladder.append(max(ladder[-1] // 2, 16))
     if ladder[-1] > 8:
         ladder.append(8)
-    st = _init_state_fused(nb)
+    st = _init_state_fused(nb, S_BLK)
     for k, c in enumerate(ladder):
         body = _make_round_fused(
             bricks, snodes, tabs, scal_i, sf, rays_s,
             nb=nb, cap=c, T=T, level_rows=level_rows, shadow=shadow,
             interpret=interpret, uniq=uniq,
             max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
+            s_blk=S_BLK,
         )
         if k + 1 < len(ladder):
             nxt = ladder[k + 1]
@@ -1999,16 +2016,17 @@ def _intersect_padded(
     reason: a CAP_DIV module-attr fallback here would be read once at
     trace time and silently reused from the jit cache."""
     assert cap_blocks, "resolve cap_blocks in the caller (intersect_rays_hako)"
-    if s_blk:
-        # install the per-res block height for every kernel-make below;
-        # runs at TRACE time only, and s_blk is a static arg, so each
-        # (s_blk, ...) combination gets its own consistent executable
-        _install_s_blk(s_blk)
+    # resolve the per-res block height for every kernel-make below; s_blk
+    # is a static arg, so each (s_blk, ...) combination gets its own
+    # consistent executable. Locals shadow the module globals -- nothing
+    # is mutated (round 5; closes the ADVICE-r3 leak).
+    S_BLK, RB = _resolve_sblk(s_blk)
     R = ro.shape[0]
     nb = R // RB
     cap = cap_blocks
     max_rounds, rays_b, sf, vacp, vacr = _driver_setup(
-        ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb
+        ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb,
+        S_BLK,
     )
     if _fuse_ok(fuse_book, uniq, pack_div, vacp):
         return _run_rungs_fused(
@@ -2016,7 +2034,7 @@ def _intersect_padded(
             nb=nb, cap=cap, max_rounds=max_rounds, T=T,
             level_rows=level_rows, shadow=shadow, interpret=interpret,
             uniq=uniq, max_probes=max_probes, max_dda=max_dda,
-            two_brick=two_brick,
+            two_brick=two_brick, s_blk=S_BLK,
         )
 
     # block-cap ladder: full-cap rounds while many blocks are active, then
@@ -2041,7 +2059,7 @@ def _intersect_padded(
     rungs = [(c, None) for c in ladder if c > vacp]
     if vacp:
         rungs.append((vacp, vacr))
-    st = _init_state(nb)
+    st = _init_state(nb, S_BLK)
     for k, (c, rc) in enumerate(rungs):
         body = _make_round(
             bricks, snodes, tabs, scal_i, sf, rays_b,
@@ -2049,7 +2067,7 @@ def _intersect_padded(
             interpret=interpret,
             pack_div=1 if rc else pack_div, uniq=0 if rc else uniq,
             max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
-            run_cap=rc,
+            run_cap=rc, s_blk=S_BLK,
         )
         if k + 1 < len(rungs):
             nxt = rungs[k + 1][0]
@@ -2085,14 +2103,14 @@ def _intersect_padded_eager(
     keep every kernel a single consistent compilation (exactly the situation
     on the real TPU, where Mosaic compiles kernels separately and the issue
     cannot arise)."""
-    if s_blk:
-        _install_s_blk(s_blk)
+    S_BLK, RB = _resolve_sblk(s_blk)  # locals shadow the globals (see helper)
     R = ro.shape[0]
     nb = R // RB
     # eager runs per call, so a module-attr fallback here is always fresh
     cap = cap_blocks if cap_blocks else max(nb // CAP_DIV, 1)
     max_rounds, rays_b, sf, vacp, vacr = _driver_setup(
-        ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb
+        ro, rd, lower, upper, cap, max_rounds, uniq, vac_pick, vac_run, nb,
+        S_BLK,
     )
     if _fuse_ok(fuse_book, uniq, pack_div, vacp):
         rays_p = [
@@ -2105,8 +2123,9 @@ def _intersect_padded_eager(
             nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
             interpret=True, uniq=uniq,
             max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
+            s_blk=S_BLK,
         )
-        st = _init_state_fused(nb)
+        st = _init_state_fused(nb, S_BLK)
         while int(st[0]) < max_rounds and bool(jnp.any(st[1] == 0)):
             st = fbody(st)
         _, _, _, t_out, nmaj_out, vidx_out = st
@@ -2119,6 +2138,7 @@ def _intersect_padded_eager(
         nb=nb, cap=cap, T=T, level_rows=level_rows, shadow=shadow,
         interpret=True, pack_div=pack_div, uniq=uniq,
         max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
+        s_blk=S_BLK,
     )
     vac_body = None
     if vacp:
@@ -2127,9 +2147,9 @@ def _intersect_padded_eager(
             nb=nb, cap=vacp, T=T, level_rows=level_rows, shadow=shadow,
             interpret=True, pack_div=1, uniq=0,
             max_probes=max_probes, max_dda=max_dda, two_brick=two_brick,
-            run_cap=vacr,
+            run_cap=vacr, s_blk=S_BLK,
         )
-    st = _init_state(nb)
+    st = _init_state(nb, S_BLK)
     while int(st[0]) < max_rounds and bool(jnp.any(st[1] == 0)):
         if vac_body is not None and cap > vacp:
             nblk = int(jnp.sum(jnp.any(st[1] == 0, axis=1).astype(I32)))
@@ -2162,12 +2182,12 @@ def intersect_rays_hako(
     module-attr sweeps are both safe in one process."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # resolve + install the block height BEFORE the padding arithmetic:
-    # RB below must match the S_BLK the kernels trace with. s_blk=None
-    # (direct callers / tests that patch hk.S_BLK themselves) keeps the
-    # current live value.
-    s_blk = S_BLK if s_blk is None else int(s_blk)
-    _install_s_blk(s_blk)
+    # resolve the block height BEFORE the padding arithmetic: RB below must
+    # match the S_BLK the kernels trace with. s_blk=None (direct callers /
+    # tests that patch hk.S_BLK themselves) takes the module default; the
+    # resolved value is threaded down as a static arg -- module globals are
+    # never mutated (round 5; closes the ADVICE-r3 leak).
+    s_blk, RB = _resolve_sblk(s_blk)
     R = ro.shape[0]
     rpad = -(-R // RB) * RB
     if rpad != R:

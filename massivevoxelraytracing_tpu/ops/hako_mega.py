@@ -70,7 +70,10 @@ MEGA_U = 32          # per-round distinct-row fetch budget per block
 MEGA_S_BLK = 8       # sublane rows per ray block (1024 lanes)
 MEGA_PROBES = 4      # probe descents per round (stragglers loop in-block)
 MEGA_DDA = 24        # DDA iterations per round
-MEGA_CONT = 1        # table-hit continue rounds (brick stage, non-fat path)
+MEGA_CONT = 1        # table-hit continue rounds: the resident U-row table
+                     # persists across rounds for BOTH row stages (the fat
+                     # path's snode stage gets its own table + row
+                     # materialization scratch; see _make_megakernel)
 
 # Per-resolution winners (on-chip sweeps; same contract as the legacy
 # TUNED_BY_RES but over the megakernel's 4-knob space). Entries may be

@@ -26,12 +26,18 @@ def cache_path(grid_res: int, cache_dir: str = "/tmp") -> str:
     from ..ops import hako
 
     # the snode threshold (MVRT_SNODES_ABOVE / USE_SNODES_ABOVE) changes
-    # the tree layout: key the cache on this resolution's ACTUAL layout
-    # (suffix only when it differs from the historical >1024 default, so
-    # existing cache files keep their names)
-    fat = "_fat" if hako.use_snodes_for(grid_res) != (grid_res > 1024) else ""
+    # the tree layout: key the cache on this resolution's ACTUAL layout.
+    # Suffix only when it differs from the historical >1024 default (so
+    # existing cache files keep their names), and encode WHICH layout it
+    # is (ADVICE r4: a bare "_fat" also named non-fat trees cached under
+    # a high threshold override, e.g. MVRT_SNODES_ABOVE=4096 at 2048^3)
+    snody = hako.use_snodes_for(grid_res)
+    if snody == (grid_res > 1024):
+        suffix = ""
+    else:
+        suffix = "_fat" if snody else "_nofat"
     return os.path.join(
-        cache_dir, f"hako_tree_{SCENE_TAG}_{grid_res}{fat}.npz"
+        cache_dir, f"hako_tree_{SCENE_TAG}_{grid_res}{suffix}.npz"
     )
 
 

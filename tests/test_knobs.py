@@ -129,12 +129,15 @@ def test_sblk_knob_resolution_and_equivalence():
     rd = rng.rand(n, 3).astype(np.float32) + 0.05
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     outs = []
+    g_sblk, g_rb = hk.S_BLK, hk.RB
     for sblk in (8, 16):
         t, nm, vi = hk.intersect_rays_hako(
             bricks, snodes, tabs, scal_i, tree.lower, tree.upper,
             jnp.asarray(ro), jnp.asarray(rd), T=T, level_rows=level_rows,
             shadow=False, s_blk=sblk, uniq=8, pack_div=1)
         outs.append((np.asarray(t), np.asarray(nm), np.asarray(vi)))
-        assert hk.S_BLK == sblk and hk.RB == sblk * 128
+        # round 5 (ADVICE r3): s_blk is threaded through as a parameter;
+        # the module defaults must NOT be mutated by the call
+        assert hk.S_BLK == g_sblk and hk.RB == g_rb
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(a, b)

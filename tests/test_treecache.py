@@ -42,7 +42,22 @@ def test_save_load_roundtrip(tmp_path):
         assert np.array_equal(np.asarray(back.snodes), np.asarray(tree.snodes))
 
 
-def test_cache_path_stable():
-    # sweeps and bench must agree on the key; SCENE_TAG bumps invalidate
+def test_cache_path_stable(monkeypatch):
+    # sweeps and bench must agree on the key; SCENE_TAG bumps invalidate.
+    # Pin the snode threshold (ADVICE r4: this test silently depended on
+    # MVRT_SNODES_ABOVE being unset in the environment).
+    from massivevoxelraytracing_tpu.ops import hako
+
+    monkeypatch.delenv("MVRT_SNODES_ABOVE", raising=False)
+    monkeypatch.setattr(hako, "USE_SNODES_ABOVE", 512)
     assert treecache.cache_path(2048).endswith(
         f"hako_tree_{treecache.SCENE_TAG}_2048.npz")
+    assert treecache.cache_path(1024).endswith(
+        f"hako_tree_{treecache.SCENE_TAG}_1024_fat.npz")
+    # a high threshold override flips 2048 to the NON-fat layout: the
+    # cache key must say so, not reuse the fat name
+    monkeypatch.setattr(hako, "USE_SNODES_ABOVE", 4096)
+    assert treecache.cache_path(2048).endswith(
+        f"hako_tree_{treecache.SCENE_TAG}_2048_nofat.npz")
+    assert treecache.cache_path(1024).endswith(
+        f"hako_tree_{treecache.SCENE_TAG}_1024.npz")
