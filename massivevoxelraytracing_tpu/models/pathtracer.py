@@ -61,6 +61,7 @@ def _ckpt_path(path: str) -> str:
         "width", "pix_packet", "n_spp",
         "accel_kind", "stack_depth", "has_emission", "hdri_enabled",
         "extra_implicit", "max_bounces", "use_pmj", "use_compact",
+        "spp_major",
     ),
 )
 def pt_sample(
@@ -85,6 +86,7 @@ def pt_sample(
     inv_h,
     aspect,
     emission_scale,
+    pix_perm=None,
     *,
     width: int,
     pix_packet: int,
@@ -97,6 +99,7 @@ def pt_sample(
     max_bounces: int = MAX_BOUNCES,
     use_pmj: bool = True,
     use_compact: bool = True,
+    spp_major: bool = False,
 ):
     """Path-traced samples for (pixel, spp) lanes generated ON DEVICE from
     two scalars (pix_start, spp_base): lane r = s * pix_packet + p covers
@@ -109,13 +112,39 @@ def pt_sample(
     """
     R = pix_packet * n_spp
     lane = jnp.arange(R, dtype=jnp.uint32)
-    pix_idx = u32(pix_start) + (lane % jnp.uint32(pix_packet))
+    # pix_perm (optional) maps packet-linear lane position -> pixel index
+    # in 32x32 TILE order (PathTracer._pixel_perm): a 1024-lane traversal
+    # block becomes a square screen tile instead of a ~2-row scanline
+    # strip, so primary (and first-bounce) packets touch far fewer
+    # distinct bricks per block -- the megakernel's per-block dedup fetch
+    # is priced exactly on that. Pure per-lane relabeling: each pixel's
+    # PMJ stream, spp sequence, and radiance are unchanged, so the
+    # resolved image is bit-identical (the caller un-permutes with the
+    # inverse). Entries >= width*height are padding: their rows render
+    # harmlessly and are dropped by the caller.
+    # spp_major: lane r = p * n_spp + s -- a 1024-lane traversal block
+    # holds 1024/n_spp CONSECUTIVE pixels x the full spp batch, so all of
+    # a pixel's samples (near-identical primary rays, same-origin bounce
+    # rays) share one block's dedup fetch. The default layout
+    # (r = s * pix_packet + p) spreads a pixel's spp across n_spp distinct
+    # blocks. Pure relabeling either way: each (pixel, spp) lane computes
+    # the same radiance, and the caller's spp-sum runs in the same s order
+    # -- resolved images are bit-identical.
+    if spp_major:
+        pix_off = lane // jnp.uint32(n_spp)
+        spp_off = lane % jnp.uint32(n_spp)
+    else:
+        pix_off = lane % jnp.uint32(pix_packet)
+        spp_off = lane // jnp.uint32(pix_packet)
+    pix_idx = u32(pix_start) + pix_off
+    if pix_perm is not None:
+        pix_idx = jnp.take(pix_perm, pix_idx, mode="clip")
     px = pix_idx % jnp.uint32(width)
     py = pix_idx // jnp.uint32(width)  # rows past the frame render harmlessly
     # and their radiance is sliced away by the caller
     # MurmurHash32(0).combine(pixelIdx) (voxKernel.cu:648-653)
     stream = hash_combine(jnp.uint32(0), pix_idx)
-    spp = u32(spp_base) + lane // jnp.uint32(pix_packet)
+    spp = u32(spp_base) + spp_off
 
     dim_counter = [0]
 
@@ -347,6 +376,9 @@ class PathTracer:
     n_batch_spp: int = N_BATCH_SPP
     use_pmj: bool = True
     compact: bool | None = None  # None = auto (on above COMPACT_MIN_LANES)
+    tile_packets: bool = True  # 32x32-tile pixel order inside packets
+    spp_major: bool = True  # block = consecutive pixels x full spp batch
+    _perm_cache: tuple | None = None
 
     def setup(self):
         if self.pmj_table is None:
@@ -363,6 +395,41 @@ class PathTracer:
         self.accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
         self.steps = 0
         self.spp_done = 0
+
+    def _pixel_perm(self, pix_packet: int):
+        """(perm, inv, n_pad): perm[j] = pixel index rendered at packet
+        -linear position j, in 32x32 screen-tile raster order (so each
+        1024-lane traversal block is a square tile -- see pt_sample);
+        inv[pixel] = j. Padding positions carry the out-of-frame sentinel
+        n_pad (their rays render harmlessly, radiance dropped). n_pad is
+        the packet-rounded tile cover of the frame."""
+        key = (self.width, self.height, pix_packet, self.tile_packets)
+        if self._perm_cache is not None and self._perm_cache[0] == key:
+            return self._perm_cache[1:]
+        n = self.width * self.height
+        if not self.tile_packets:
+            n_pad = -(-n // pix_packet) * pix_packet
+            out = (None, None, n_pad)
+        else:
+            ts = 32
+            wt = -(-self.width // ts)
+            ht = -(-self.height // ts)
+            n_tiles = wt * ht * ts * ts
+            n_pad = -(-max(n, n_tiles) // pix_packet) * pix_packet
+            idx = np.arange(n_tiles, dtype=np.int64)
+            t, within = idx // (ts * ts), idx % (ts * ts)
+            x = (t % wt) * ts + within % ts
+            y = (t // wt) * ts + within // ts
+            pix = y * self.width + x
+            oob = (x >= self.width) | (y >= self.height)
+            perm_np = np.full(n_pad, n_pad, np.uint32)
+            perm_np[:n_tiles] = np.where(oob, n_pad, pix)
+            pos = np.nonzero(perm_np < n)[0]
+            inv_np = np.zeros(n, np.uint32)
+            inv_np[perm_np[pos]] = pos
+            out = (jnp.asarray(perm_np), jnp.asarray(inv_np), n_pad)
+        self._perm_cache = (key,) + out
+        return out
 
     def step(self, cam: camera_ops.Camera, n_spp: int | None = None):
         """One progressive step: +n_spp samples per pixel."""
@@ -387,7 +454,7 @@ class PathTracer:
         # fault this backend (device error; 3M measured fine)
         np2 = 1 << max(n - 1, 1).bit_length()
         pix_packet = max(min(self.packet // (max(n_spp, 1) * 2), np2), 1024)
-        n_pad = -(-n // pix_packet) * pix_packet
+        perm, inv_perm, n_pad = self._pixel_perm(pix_packet)
 
         parts = []
         for k in range(n_pad // pix_packet):
@@ -413,6 +480,7 @@ class PathTracer:
                 jnp.float32(1.0 / self.height),
                 jnp.float32(self.width / self.height),
                 jnp.float32(self.emission_scale),
+                perm,
                 width=self.width,
                 pix_packet=pix_packet,
                 n_spp=n_spp,
@@ -425,9 +493,17 @@ class PathTracer:
                 use_pmj=self.use_pmj,
                 use_compact=(True if self.compact is None
                              else bool(self.compact)),
+                spp_major=self.spp_major,
             )
-            parts.append(li.reshape(n_spp, pix_packet, 3).sum(0))
-        radiance = jnp.concatenate(parts)[:n]
+            if self.spp_major:
+                parts.append(li.reshape(pix_packet, n_spp, 3).sum(1))
+            else:
+                parts.append(li.reshape(n_spp, pix_packet, 3).sum(0))
+        radiance = jnp.concatenate(parts)
+        if inv_perm is not None:
+            # tile order -> pixel order (see _pixel_perm)
+            radiance = jnp.take(radiance, inv_perm, axis=0)
+        radiance = radiance[:n]
         self.accum = self.accum + jnp.concatenate(
             [radiance, jnp.full((n, 1), float(n_spp), jnp.float32)], axis=1
         )

@@ -79,7 +79,15 @@ MEGA_CONT = 1        # table-hit continue rounds: the resident U-row table
 # TUNED_BY_RES but over the megakernel's 4-knob space). Entries may be
 # empty -- the module defaults above apply.
 MEGA_TUNED = {}
-MEGA_TUNED_PT = {}
+# PT wavefront winners (docs/logs/r5_pt_sweep.log, 2026-08-21, 960x540
+# 16 spp on the 1024^3 lattice): U is the only live knob -- incoherent
+# bounces overflow the per-round fetch budget, so raise it to the compile
+# ceiling (U=256 and cont at U>=128 both crash the remote Mosaic compile;
+# cont vs no-cont is noise at U=64). S=16 was 12% slower; PROBES/DDA
+# perfectly neutral. 36.2 -> 26.6 s/step on knobs alone.
+MEGA_TUNED_PT = {
+    1024: dict(uniq=128, cont=0),
+}
 
 
 def mega_knobs(grid_res: int, profile: str = "primary") -> dict:

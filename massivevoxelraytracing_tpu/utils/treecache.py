@@ -55,6 +55,14 @@ def save_hako(tree, path: str) -> None:
         arrs[f"lv{i}"] = np.asarray(lv)
     if tree.snodes is not None:
         arrs["snodes"] = np.asarray(tree.snodes)
+    # voxel attributes (round-5 fix: PT steps on cached trees previously
+    # ran with color=None -> black albedo, so their radiance measured
+    # primary sky only; traversal timings were unaffected)
+    if tree.color is not None:
+        arrs["color"] = np.asarray(tree.color)
+    if tree.emission is not None:
+        arrs["emission"] = np.asarray(tree.emission)
+    arrs["has_emission"] = bool(tree.has_emission)
     # tmp must keep the .npz suffix (np.savez appends it otherwise)
     tmp = f"{path}.tmp.{os.getpid()}.npz"
     np.savez(tmp, **arrs)
@@ -79,6 +87,9 @@ def load_hako(path: str):
         snodes=(jnp.asarray(z["snodes"]) if "snodes" in z else None),
         n_snodes=int(z["n_snodes"]),
         n_voxels=int(z["n_voxels"]) if "n_voxels" in z else 0,
+        color=(jnp.asarray(z["color"]) if "color" in z else None),
+        emission=(jnp.asarray(z["emission"]) if "emission" in z else None),
+        has_emission=bool(z["has_emission"]) if "has_emission" in z else False,
     )
 
 
@@ -89,7 +100,11 @@ def lattice_tree(grid_res: int, cache_dir: str = "/tmp"):
 
     path = cache_path(grid_res, cache_dir)
     if os.path.exists(path):
-        return load_hako(path)
+        tree = load_hako(path)
+        if tree.color is not None:
+            return tree
+        # stale pre-round-5 cache without voxel attributes: rebuild so PT
+        # measurements carry real albedo (see save_hako note)
     tri, cols = meshgen.sphere_lattice(6, 4)
     tree = scene.build_scene(
         tri, cols, origin=np.zeros(3, np.float32), dps=1.0 / grid_res,

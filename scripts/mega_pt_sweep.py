@@ -65,6 +65,10 @@ def main():
     pt = PathTracer(width=W, height=H, n_batch_spp=spp)
     if "COMPACT" in os.environ:  # A/B the inter-bounce compaction on-chip
         pt.compact = bool(int(os.environ["COMPACT"]))
+    if "TILE" in os.environ:  # A/B the 32x32 tile pixel order
+        pt.tile_packets = bool(int(os.environ["TILE"]))
+    if "SPPM" in os.environ:  # A/B the spp-major block layout
+        pt.spp_major = bool(int(os.environ["SPPM"]))
     pt.setup()
     h, w = 64, 128
     ang = np.linspace(0, np.pi, h)[:, None]

@@ -44,7 +44,9 @@ def main():
     H = int(os.environ.get("H", 540))
     u = int(os.environ.get("U", 64))
     steps = int(os.environ.get("STEPS", 2))
-    hm.MEGA_TUNED_PT = {res: dict(uniq=u)}
+    # cont=0 above U=64: the cont tag_rank loop unrolls U times and fails
+    # remote compile at U>=128 (docs/logs/r5_pt_sweep.log)
+    hm.MEGA_TUNED_PT = {res: dict(uniq=u, cont=0 if u > 64 else 1)}
 
     tree = treecache.lattice_tree(res)
     lo = np.asarray(tree.lower)
