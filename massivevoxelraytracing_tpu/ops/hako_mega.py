@@ -78,7 +78,14 @@ MEGA_CONT = 1        # table-hit continue rounds: the resident U-row table
 # Per-resolution winners (on-chip sweeps; same contract as the legacy
 # TUNED_BY_RES but over the megakernel's 4-knob space). Entries may be
 # empty -- the module defaults above apply.
-MEGA_TUNED = {}
+# Primary winners (docs/logs/r5_pt_sweep.log + prim sweep, 2026-08-21,
+# 1080p on the 1024^3 lattice): 181.6 ms / 11.42 Mrays/s at U=64 S=16
+# (r4 default U=32 S=8: 210.6 ms). Coherent tiles like tall blocks and a
+# bigger resident table; PT wavefronts prefer S=8 (see MEGA_TUNED_PT).
+# U=16 is 30% worse; PROBES neutral.
+MEGA_TUNED = {
+    1024: dict(uniq=64, s_blk=16),
+}
 # PT wavefront winners (docs/logs/r5_pt_sweep.log, 2026-08-21, 960x540
 # 16 spp on the 1024^3 lattice): U is the only live knob -- incoherent
 # bounces overflow the per-round fetch budget, so raise it to the compile
