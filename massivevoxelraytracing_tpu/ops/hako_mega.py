@@ -93,7 +93,9 @@ MEGA_TUNED = {
 # cont vs no-cont is noise at U=64). S=16 was 12% slower; PROBES/DDA
 # perfectly neutral. 36.2 -> 26.6 s/step on knobs alone.
 MEGA_TUNED_PT = {
-    1024: dict(uniq=128, cont=0),
+    # s_blk pinned: the overlay lands on top of MEGA_TUNED's s_blk=16
+    # primary winner, and PT wavefronts measured 12% slower at S=16
+    1024: dict(uniq=128, cont=0, s_blk=8),
 }
 
 
