@@ -40,6 +40,18 @@ def test_save_load_roundtrip(tmp_path):
         assert back.snodes is None
     else:
         assert np.array_equal(np.asarray(back.snodes), np.asarray(tree.snodes))
+    # voxel ATTRIBUTES must survive the cache (round-5 regression: the
+    # cache used to drop color/emission, so every PT step on a cached
+    # tree rendered black albedo -- geometry pixels at exactly zero
+    # radiance, the r4 'legacy PT bug' signature; see STATUS round-5)
+    assert tree.color is not None
+    assert np.array_equal(np.asarray(back.color), np.asarray(tree.color))
+    assert back.has_emission == tree.has_emission
+    if tree.emission is None:
+        assert back.emission is None
+    else:
+        assert np.array_equal(
+            np.asarray(back.emission), np.asarray(tree.emission))
 
 
 def test_cache_path_stable(monkeypatch):
