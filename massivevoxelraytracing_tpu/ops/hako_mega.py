@@ -96,6 +96,9 @@ MEGA_TUNED_PT = {
     # s_blk pinned: the overlay lands on top of MEGA_TUNED's s_blk=16
     # primary winner, and PT wavefronts measured 12% slower at S=16
     1024: dict(uniq=128, cont=0, s_blk=8),
+    # 256^3 PT is barely fetch-bound (few distinct bricks): 38.2 s vs
+    # 39.6 for the inherited primary knobs at 1080p (r5 sweep)
+    256: dict(uniq=128, cont=0, s_blk=8),
 }
 
 
