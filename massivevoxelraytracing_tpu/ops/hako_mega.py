@@ -85,6 +85,9 @@ MEGA_CONT = 1        # table-hit continue rounds: the resident U-row table
 # U=16 is 30% worse; PROBES neutral.
 MEGA_TUNED = {
     1024: dict(uniq=64, s_blk=16),
+    # 2048 cells (r5): inherited 1024 winners were already near-optimal
+    # (295.3 ms); U=128/cont=0 edges them out (292.2 ms, 7.10 Mrays/s)
+    2048: dict(uniq=128, s_blk=16, cont=0),
 }
 # PT wavefront winners (docs/logs/r5_pt_sweep.log, 2026-08-21, 960x540
 # 16 spp on the 1024^3 lattice): U is the only live knob -- incoherent
